@@ -1,0 +1,20 @@
+"""opendcvc_tpu — a TPU-native neural video/image codec framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the OpenDCVC capability set
+(DCVC family of neural codecs: DCVC-RT, DCVC-FM, DCVC-DC, DCVC-HEM,
+DCVC-TCM, DCVC, EVC).  The device-side compute path is pure JAX (NHWC
+layouts, MXU-friendly convs, fused elementwise via XLA + Pallas kernels);
+the host-side entropy-coding runtime is native C++ (rANS) bound through
+ctypes.
+
+Layer map (mirrors the reference's layering, re-expressed TPU-first):
+  L0  entropy  — native rANS runtime (opendcvc_tpu.native / entropy.rans)
+  L1  ops      — fused device ops: pure-jnp reference path + Pallas kernels
+  L2  layers   — NN building blocks + entropy models
+  L3  models   — codec models (DMC video / DMCI image, family codecs)
+  L4  utils    — bitstream syntax, IO, color transforms, metrics
+  L5  eval     — RD-evaluation harness / CLI
+  L6  training — RD training loop (data-parallel shard_map over a Mesh)
+"""
+
+__version__ = "0.1.0"
