@@ -1,0 +1,464 @@
+"""DMC — P-frame video codec with implicit temporal modeling, TPU-native.
+
+Re-design of the reference DCVC-RT video codec (reference:
+src/models/video_model.py): no motion coding; a propagated decoder-side
+feature (g_ch_d=256 at 1/8 resolution) carries temporal context, a single
+low-resolution latent (g_ch_y=128 at 1/16) is coded with a two-pass
+checkerboard spatial prior fused from hyper + temporal priors, and
+per-QP parameter banks (64+8 rows for hierarchical-QP shifts) modulate
+every stage.
+
+Bit-exactness contract: every stage both encoder and decoder evaluate
+(feature extraction, prior fusion, spatial-prior pass, the latent decoder
+producing the NEXT reference feature, reconstruction) is ONE shared jitted
+function, so the temporal prediction chain cannot drift between the two
+sides over arbitrarily long GOPs (intra period -1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..layers import blocks as L
+from ..ops import fused as F
+from ..entropy.coder import EntropyCoder
+from ..entropy.models import (BitEstimator, GaussianEncoder,
+                              bit_estimator_init)
+from . import common as C
+
+QP_SHIFT = [0, 8, 4]
+EXTRA_QP = max(QP_SHIFT)
+
+G_CH_SRC_D = 3 * 8 * 8
+G_CH_RECON = 320
+G_CH_Y = 128
+G_CH_Z = 128
+G_CH_D = 256
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def dmc_init(key, qp_num=C.QP_NUM):
+    ks = iter(jax.random.split(key, 64))
+    p = {}
+    p["feature_adaptor_i"] = L.depth_conv_block_init(next(ks), G_CH_SRC_D,
+                                                     G_CH_D)
+    p["feature_adaptor_p"] = L.conv_init(next(ks), G_CH_D, G_CH_D, 1)
+    p["fe_conv1"] = [L.depth_conv_block_init(next(ks), G_CH_D, G_CH_D)
+                     for _ in range(2)]
+    p["fe_conv2"] = [L.depth_conv_block_init(next(ks), G_CH_D, G_CH_D)
+                     for _ in range(4)]
+
+    p["enc_conv1"] = L.conv_init(next(ks), G_CH_SRC_D, G_CH_D, 1)
+    p["enc_conv2"] = [
+        L.depth_conv_block_init(next(ks), G_CH_D * 2, G_CH_D),
+        L.depth_conv_block_init(next(ks), G_CH_D, G_CH_D),
+    ]
+    p["enc_conv3"] = L.depth_conv_block_init(next(ks), G_CH_D, G_CH_D)
+    p["enc_down"] = L.conv_init(next(ks), G_CH_D, G_CH_Y, 3)
+
+    p["hyper_enc"] = [
+        L.depth_conv_block_init(next(ks), G_CH_Y, G_CH_Z),
+        L.res_block_stride2_init(next(ks), G_CH_Z, G_CH_Z),
+        L.res_block_stride2_init(next(ks), G_CH_Z, G_CH_Z),
+    ]
+    p["hyper_dec"] = [
+        L.res_block_upsample_init(next(ks), G_CH_Z, G_CH_Z),
+        L.res_block_upsample_init(next(ks), G_CH_Z, G_CH_Z),
+        L.depth_conv_block_init(next(ks), G_CH_Z, G_CH_Y),
+    ]
+    p["temporal_prior"] = L.res_block_stride2_init(next(ks), G_CH_D,
+                                                   G_CH_Y * 2)
+    p["y_prior_fusion"] = [
+        L.depth_conv_block_init(next(ks), G_CH_Y * 3, G_CH_Y * 3),
+        L.depth_conv_block_init(next(ks), G_CH_Y * 3, G_CH_Y * 3),
+        L.depth_conv_block_init(next(ks), G_CH_Y * 3, G_CH_Y * 3),
+        L.conv_init(next(ks), G_CH_Y * 3, G_CH_Y * 3, 1),
+    ]
+    p["y_spatial_prior"] = [
+        L.depth_conv_block_init(next(ks), G_CH_Y * 4, G_CH_Y * 3),
+        L.depth_conv_block_init(next(ks), G_CH_Y * 3, G_CH_Y * 3),
+        L.conv_init(next(ks), G_CH_Y * 3, G_CH_Y * 2, 1),
+    ]
+
+    p["dec_up"] = L.subpel_conv2x_init(next(ks), G_CH_Y, G_CH_D, 3)
+    p["dec_conv1"] = [
+        L.depth_conv_block_init(next(ks), G_CH_D * 2, G_CH_D),
+        L.depth_conv_block_init(next(ks), G_CH_D, G_CH_D),
+        L.depth_conv_block_init(next(ks), G_CH_D, G_CH_D),
+    ]
+    p["dec_conv2"] = L.conv_init(next(ks), G_CH_D, G_CH_D, 1)
+
+    p["recon_conv"] = [
+        L.depth_conv_block_init(next(ks), G_CH_D, G_CH_RECON),
+        L.depth_conv_block_init(next(ks), G_CH_RECON, G_CH_RECON),
+        L.depth_conv_block_init(next(ks), G_CH_RECON, G_CH_RECON),
+        L.depth_conv_block_init(next(ks), G_CH_RECON, G_CH_RECON),
+    ]
+    p["recon_head"] = L.conv_init(next(ks), G_CH_RECON, G_CH_SRC_D, 1)
+
+    n_qp = qp_num + EXTRA_QP
+    p["q_encoder"] = jnp.ones((n_qp, G_CH_D))
+    p["q_decoder"] = jnp.ones((n_qp, G_CH_D))
+    p["q_feature"] = jnp.ones((n_qp, G_CH_D))
+    p["q_recon"] = jnp.ones((n_qp, G_CH_RECON))
+    p["bit_estimator_z"] = bit_estimator_init(next(ks), n_qp, G_CH_Z)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# sub-network applies
+# ---------------------------------------------------------------------------
+
+def _dcb_seq(params_list, x):
+    for bp in params_list:
+        x = L.depth_conv_block_apply(bp, x)
+    return x
+
+
+def _q_vec(bank, qp, dtype):
+    return bank[qp][None, None, None, :].astype(dtype)
+
+
+def hyper_encoder(p, y_pad):
+    h = L.depth_conv_block_apply(p["hyper_enc"][0], y_pad)
+    h = L.res_block_stride2_apply(p["hyper_enc"][1], h)
+    return L.res_block_stride2_apply(p["hyper_enc"][2], h)
+
+
+def hyper_decoder(p, z_hat):
+    h = L.res_block_upsample_apply(p["hyper_dec"][0], z_hat)
+    h = L.res_block_upsample_apply(p["hyper_dec"][1], h)
+    return L.depth_conv_block_apply(p["hyper_dec"][2], h)
+
+
+def spatial_prior(p, x):
+    h = L.depth_conv_block_apply(p["y_spatial_prior"][0], x)
+    h = L.depth_conv_block_apply(p["y_spatial_prior"][1], h)
+    return L.conv_apply(p["y_spatial_prior"][2], h)
+
+
+# ---------------------------------------------------------------------------
+# jit stage functions (shared = used by both encoder and decoder)
+# ---------------------------------------------------------------------------
+
+def _stage_adaptor_i(p, frame):
+    """Shared: pixel reference -> feature (video_model.py:274-277)."""
+    return L.depth_conv_block_apply(p["feature_adaptor_i"],
+                                    F.space_to_depth(frame, 8))
+
+
+def _stage_adaptor_p(p, feature):
+    """Shared: propagated feature -> adapted feature."""
+    return L.conv_apply(p["feature_adaptor_p"], feature)
+
+
+def _stage_fe_part1(p, feature, qp):
+    """Shared: first 2 blocks + temporal context (video_model.py:44-47)."""
+    x1 = _dcb_seq(p["fe_conv1"], feature)
+    ctx_t = x1 * _q_vec(p["q_feature"], qp, x1.dtype)
+    return x1, ctx_t
+
+
+def _stage_fe_part2(p, x1):
+    """Shared: remaining 4 blocks -> ctx."""
+    return _dcb_seq(p["fe_conv2"], x1)
+
+
+def _stage_encode_y(p, x, ctx, qp):
+    """Encoder-only: frame -> latent y + rounded z (video_model.py:54-97)."""
+    feat = F.space_to_depth(x, 8)
+    feat = L.conv_apply(p["enc_conv1"], feat)
+    feat = L.depth_conv_block_apply(p["enc_conv2"][0],
+                                    jnp.concatenate((feat, ctx), axis=-1))
+    feat = L.depth_conv_block_apply(p["enc_conv2"][1], feat)
+    feat = L.depth_conv_block_apply(
+        p["enc_conv3"], feat,
+        quant_step=_q_vec(p["q_encoder"], qp, feat.dtype))
+    y = L.conv_apply(p["enc_down"], feat, stride=2, padding=1)
+    z = hyper_encoder(p, C.pad_for_y(y))
+    z_hat, z_int8 = F.round_and_to_int8(z)
+    return y, z_hat.astype(x.dtype), z_int8
+
+
+def _stage_prior(p, z_hat, ctx_t):
+    """Shared: hyper + temporal priors -> fused params
+    (video_model.py:279-286)."""
+    hier = hyper_decoder(p, z_hat)
+    temporal = L.res_block_stride2_apply(p["temporal_prior"], ctx_t)
+    th, tw = temporal.shape[1], temporal.shape[2]
+    hier = hier[:, :th, :tw, :]
+    fused = _dcb_seq(p["y_prior_fusion"][:3],
+                     jnp.concatenate((hier, temporal), axis=-1))
+    return L.conv_apply(p["y_prior_fusion"][3], fused)
+
+
+def _stage_spatial(p, y_hat_0, common_params):
+    """Shared: second-pass spatial prior (video_model.py:206-216)."""
+    cat = jnp.concatenate((y_hat_0, common_params), axis=-1)
+    out = spatial_prior(p, cat)
+    c = out.shape[-1] // 2
+    return out[..., :c], out[..., c:]
+
+
+def _stage_fold_index_2x(scales, k, force_zero_thres):
+    """Shared: fold active-half scales, build CDF indexes."""
+    _, h, w, c = scales.shape
+    masks = F.checkerboard_masks_2x(h, w, c, scales.dtype)
+    scales_r = F.fold_halves(scales * masks[k])
+    ge = GaussianEncoder
+    indexes, skip = F.build_index_dec(
+        scales_r, ge.SCALE_MIN, ge.SCALE_MAX,
+        float(np.log(ge.SCALE_MIN)),
+        (ge.SCALE_LEVELS - 1) / (np.log(ge.SCALE_MAX) - np.log(ge.SCALE_MIN)),
+        force_zero_thres)
+    return indexes, skip
+
+
+def _stage_enc_mask_2x(y, scales, means, k, force_zero_thres):
+    """Encoder-only: quantize pass k, folded int16 symbols + y_hat part."""
+    _, h, w, c = y.shape
+    masks = F.checkerboard_masks_2x(h, w, c, y.dtype)
+    _, y_q, y_hat, _ = F.process_with_mask(y, scales, means, masks[k],
+                                           force_zero_thres)
+    return F.fold_halves(y_q).astype(jnp.int16), y_hat
+
+
+def _stage_dec_restore_2x(y_q_r, means, k):
+    _, h, w, c = means.shape
+    masks = F.checkerboard_masks_2x(h, w, c, means.dtype)
+    return F.restore_y_2x(y_q_r, means, masks[k])
+
+
+def _stage_feature(p, y_hat, ctx, qp):
+    """Shared: latent decoder -> next reference feature
+    (video_model.py:100-129).  MUST be identical enc/dec: the temporal
+    chain propagates this output."""
+    feat = L.subpel_conv2x_apply(p["dec_up"], y_hat, padding=1)
+    feat = jnp.concatenate((feat, ctx), axis=-1)
+    feat = L.depth_conv_block_apply(p["dec_conv1"][0], feat)
+    feat = L.depth_conv_block_apply(p["dec_conv1"][1], feat)
+    feat = L.depth_conv_block_apply(p["dec_conv1"][2], feat)
+    feat = L.conv_apply(p["dec_conv2"], feat)
+    return feat * _q_vec(p["q_decoder"], qp, feat.dtype)
+
+
+def _stage_recon_x(p, feature, qp):
+    """Shared (decode + encoder-side periodic refresh): feature -> frame
+    (video_model.py:132-163)."""
+    out = L.depth_conv_block_apply(p["recon_conv"][0], feature)
+    out = L.depth_conv_block_apply(p["recon_conv"][1], out)
+    out = L.depth_conv_block_apply(p["recon_conv"][2], out)
+    out = L.depth_conv_block_apply(
+        p["recon_conv"][3], out,
+        quant_step=_q_vec(p["q_recon"], qp, out.dtype))
+    out = L.conv_apply(p["recon_head"], out)
+    return F.pixel_shuffle_clamp(out, 8)
+
+
+# ---------------------------------------------------------------------------
+# DPB
+# ---------------------------------------------------------------------------
+
+class RefFrame:
+    def __init__(self):
+        self.frame = None
+        self.feature = None
+        self.poc = None
+
+
+# ---------------------------------------------------------------------------
+# host orchestrator
+# ---------------------------------------------------------------------------
+
+class DMC:
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+        self.qp_shift = QP_SHIFT
+        self.params = None
+        self.entropy_coder = None
+        self.bit_estimator_z = BitEstimator(C.QP_NUM + EXTRA_QP, G_CH_Z)
+        self.gaussian_encoder = GaussianEncoder()
+        self.force_zero_thres = None
+
+        self.dpb = []
+        self.max_dpb_size = 1
+        self.curr_poc = 0
+
+        self._j_adaptor_i = jax.jit(_stage_adaptor_i)
+        self._j_adaptor_p = jax.jit(_stage_adaptor_p)
+        self._j_fe_part1 = jax.jit(_stage_fe_part1)
+        self._j_fe_part2 = jax.jit(_stage_fe_part2)
+        self._j_encode_y = jax.jit(_stage_encode_y)
+        self._j_prior = jax.jit(_stage_prior)
+        self._j_spatial = jax.jit(_stage_spatial)
+        self._j_fold_index = jax.jit(_stage_fold_index_2x,
+                                     static_argnums=(1, 2))
+        self._j_enc_mask = jax.jit(_stage_enc_mask_2x, static_argnums=(3, 4))
+        self._j_dec_restore = jax.jit(_stage_dec_restore_2x,
+                                      static_argnums=(2,))
+        self._j_feature = jax.jit(_stage_feature)
+        self._j_recon_x = jax.jit(_stage_recon_x)
+
+    # -- setup ---------------------------------------------------------------
+
+    @staticmethod
+    def get_qp_num():
+        return C.QP_NUM
+
+    def init_params(self, seed=0):
+        self.params = dmc_init(jax.random.PRNGKey(seed))
+        if self.dtype != jnp.float32:
+            self.params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.dtype)
+                if a.dtype == jnp.float32 else a, self.params)
+        return self.params
+
+    def load_params(self, params):
+        self.params = params
+
+    def update(self, force_zero_thres=None):
+        self.entropy_coder = EntropyCoder()
+        self.force_zero_thres = force_zero_thres
+        self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
+        self.bit_estimator_z.update(self.params["bit_estimator_z"],
+                                    self.entropy_coder)
+
+    def set_use_two_entropy_coders(self, b):
+        self.entropy_coder.set_use_two_entropy_coders(b)
+
+    # -- DPB management (video_model.py:253-297) ------------------------------
+
+    def reset_ref_feature(self):
+        if self.dpb:
+            self.dpb[0].feature = None
+
+    def add_ref_frame(self, feature=None, frame=None, increase_poc=True):
+        ref = RefFrame()
+        ref.poc = self.curr_poc
+        ref.frame = frame
+        ref.feature = feature
+        if len(self.dpb) >= self.max_dpb_size:
+            self.dpb.pop(-1)
+        self.dpb.insert(0, ref)
+        if increase_poc:
+            self.curr_poc += 1
+
+    def clear_dpb(self):
+        self.dpb.clear()
+
+    def set_curr_poc(self, poc):
+        self.curr_poc = poc
+
+    def apply_feature_adaptor(self):
+        if self.dpb[0].feature is None:
+            return self._j_adaptor_i(
+                self.params, jnp.asarray(self.dpb[0].frame, self.dtype))
+        return self._j_adaptor_p(self.params, self.dpb[0].feature)
+
+    def prepare_feature_adaptor_i(self, last_qp):
+        """Periodic refresh: regenerate a pixel reference from the feature
+        so decoder and encoder re-anchor (video_model.py:293-297)."""
+        if self.dpb[0].frame is None:
+            self.dpb[0].frame = self._j_recon_x(
+                self.params, self.dpb[0].feature, jnp.int32(last_qp))
+            self.reset_ref_feature()
+
+    def shift_qp(self, qp, fa_idx):
+        return qp + self.qp_shift[fa_idx]
+
+    # -- compress ------------------------------------------------------------
+
+    def compress(self, x, qp):
+        p = self.params
+        fz = self.force_zero_thres
+        qp_dev = jnp.int32(qp)
+        x = jnp.asarray(x, dtype=self.dtype)
+
+        feature = self.apply_feature_adaptor()
+        x1, ctx_t = self._j_fe_part1(p, feature, qp_dev)
+        ctx = self._j_fe_part2(p, x1)
+        y, z_hat, z_int8 = self._j_encode_y(p, x, ctx, qp_dev)
+        params_prior = self._j_prior(p, z_hat, ctx_t)
+
+        y, q_dec, scales, means = C.separate_prior_video_encoding(
+            params_prior, y)
+
+        packed_planes, skip_planes = [], []
+        # pass 0
+        indexes0, skip0 = self._j_fold_index(scales, 0, fz)
+        y_q_f0, y_hat_0 = self._j_enc_mask(y, scales, means, 0, fz)
+        # pass 1 (conditioned on pass-0 reconstruction)
+        scales1, means1 = self._j_spatial(p, y_hat_0, params_prior)
+        indexes1, skip1 = self._j_fold_index(scales1, 1, fz)
+        y_q_f1, y_hat_1 = self._j_enc_mask(y, scales1, means1, 1, fz)
+
+        y_hat = F.add_and_multiply(y_hat_0, y_hat_1, q_dec)
+        feature_out = self._j_feature(p, y_hat, ctx, qp_dev)
+
+        for y_q_f, idx, skip in ((y_q_f0, indexes0, skip0),
+                                 (y_q_f1, indexes1, skip1)):
+            packed = (np.asarray(y_q_f, dtype=np.int16) << 8) | \
+                np.asarray(idx).astype(np.int16)
+            packed_planes.append(packed.reshape(-1))
+            skip_planes.append(None if skip is None
+                               else np.asarray(skip).reshape(-1))
+
+        self.entropy_coder.reset()
+        self.bit_estimator_z.encode_z(np.asarray(z_int8).reshape(-1), qp)
+        for packed, skip in zip(packed_planes, skip_planes):
+            self.gaussian_encoder.encode_y_packed(packed, skip)
+        self.entropy_coder.flush()
+        bit_stream = self.entropy_coder.get_encoded_stream()
+
+        self.add_ref_frame(feature_out, None)
+        return {"bit_stream": bit_stream}
+
+    # -- decompress ----------------------------------------------------------
+
+    def decompress(self, bit_stream, sps, qp):
+        p = self.params
+        fz = self.force_zero_thres
+        qp_dev = jnp.int32(qp)
+
+        self.entropy_coder.set_use_two_entropy_coders(sps["ec_part"] == 1)
+        self.entropy_coder.set_stream(bit_stream)
+        z_size = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        # start the host-side z decode immediately; it overlaps the
+        # feature-extractor compute below (reference overlaps via CUDA
+        # streams, video_model.py:353-362)
+        self.bit_estimator_z.decode_z(z_size, qp)
+
+        feature = self.apply_feature_adaptor()
+        x1, ctx_t = self._j_fe_part1(p, feature, qp_dev)
+
+        z_np = self.bit_estimator_z.get_z(z_size)
+        z_hat = jnp.asarray(z_np, dtype=self.dtype)
+        params_prior = self._j_prior(p, z_hat, ctx_t)
+        q_dec, scales, means = C.separate_prior_video_decoding(params_prior)
+
+        indexes0, skip0 = self._j_fold_index(scales, 0, fz)
+        skip0_np = None if skip0 is None else np.asarray(skip0)
+        self.gaussian_encoder.decode_y(np.asarray(indexes0), skip0_np)
+
+        ctx = self._j_fe_part2(p, x1)
+
+        y_q_r0 = self.gaussian_encoder.get_y(indexes0.shape, skip0_np)
+        y_hat_0 = self._j_dec_restore(jnp.asarray(y_q_r0, self.dtype),
+                                      means, 0)
+        scales1, means1 = self._j_spatial(p, y_hat_0, params_prior)
+        indexes1, skip1 = self._j_fold_index(scales1, 1, fz)
+        skip1_np = None if skip1 is None else np.asarray(skip1)
+        self.gaussian_encoder.decode_y(np.asarray(indexes1), skip1_np)
+        y_q_r1 = self.gaussian_encoder.get_y(indexes1.shape, skip1_np)
+        y_hat_1 = self._j_dec_restore(jnp.asarray(y_q_r1, self.dtype),
+                                      means1, 1)
+
+        y_hat = F.add_and_multiply(y_hat_0, y_hat_1, q_dec)
+        feature_out = self._j_feature(p, y_hat, ctx, qp_dev)
+        x_hat = self._j_recon_x(p, feature_out, qp_dev)
+
+        self.add_ref_frame(feature_out, x_hat)
+        return {"x_hat": x_hat}

@@ -1,0 +1,352 @@
+"""DMCI — intra (image) codec, TPU-native.
+
+Re-design of the reference DCVC-RT intra codec (reference:
+src/models/image_model.py:102-209) with the four-pass quadtree
+checkerboard prior (common_model.py:206-296).
+
+Execution model: the codec is a host orchestrator over a small set of
+jitted stage functions.  Stages that BOTH encoder and decoder evaluate
+(hyper decode + prior fusion, the spatial-prior passes, reconstruction)
+are shared jit functions, so the floats that drive symbol/index
+construction are bit-identical on both sides; only the rANS coding and
+the tiny packed-symbol planes cross the host boundary.
+
+Channels: src 3*8*8=192 (pixel-unshuffle 8), enc/dec width 368, y N=256,
+z 128.  QP acts through (64, C) parameter banks gathered inside jit, so a
+single compiled graph serves every rate point.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..layers import blocks as L
+from ..ops import fused as F
+from ..entropy.coder import EntropyCoder
+from ..entropy.models import (BitEstimator, GaussianEncoder,
+                              bit_estimator_init)
+from . import common as C
+
+G_CH_SRC = 3 * 8 * 8
+G_CH_ENC_DEC = 368
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+def dmci_init(key, N=256, z_channel=128, qp_num=C.QP_NUM):
+    ks = list(jax.random.split(key, 48))
+    k = iter(ks)
+    p = {}
+    p["enc1"] = L.depth_conv_block_init(next(k), G_CH_SRC, G_CH_ENC_DEC)
+    p["enc2"] = [L.depth_conv_block_init(next(k), G_CH_ENC_DEC, G_CH_ENC_DEC)
+                 for _ in range(6)]
+    p["enc_down"] = L.conv_init(next(k), G_CH_ENC_DEC, N, 3)
+
+    p["hyper_enc"] = [
+        L.depth_conv_block_init(next(k), N, z_channel),
+        L.res_block_stride2_init(next(k), z_channel, z_channel),
+        L.res_block_stride2_init(next(k), z_channel, z_channel),
+    ]
+    p["hyper_dec"] = [
+        L.res_block_upsample_init(next(k), z_channel, z_channel),
+        L.res_block_upsample_init(next(k), z_channel, z_channel),
+        L.depth_conv_block_init(next(k), z_channel, N),
+    ]
+    p["y_prior_fusion"] = [
+        L.depth_conv_block_init(next(k), N, N * 2),
+        L.depth_conv_block_init(next(k), N * 2, N * 2),
+        L.depth_conv_block_init(next(k), N * 2, N * 2),
+        L.conv_init(next(k), N * 2, N * 2 + 2, 1),
+    ]
+    p["reduction"] = L.conv_init(next(k), N * 2 + 2, N, 1)
+    p["adaptor_1"] = L.depth_conv_block_init(next(k), N * 2, N * 2,
+                                             force_adaptor=True)
+    p["adaptor_2"] = L.depth_conv_block_init(next(k), N * 2, N * 2,
+                                             force_adaptor=True)
+    p["adaptor_3"] = L.depth_conv_block_init(next(k), N * 2, N * 2,
+                                             force_adaptor=True)
+    p["y_spatial_prior"] = [
+        L.depth_conv_block_init(next(k), N * 2, N * 2),
+        L.depth_conv_block_init(next(k), N * 2, N * 2),
+        L.depth_conv_block_init(next(k), N * 2, N * 2),
+        L.conv_init(next(k), N * 2, N * 2, 1),
+    ]
+    p["dec1_up"] = L.res_block_upsample_init(next(k), N, G_CH_ENC_DEC)
+    p["dec1"] = [L.depth_conv_block_init(next(k), G_CH_ENC_DEC, G_CH_ENC_DEC)
+                 for _ in range(12)]
+    p["dec2"] = L.depth_conv_block_init(next(k), G_CH_ENC_DEC, G_CH_SRC)
+
+    p["q_scale_enc"] = jnp.ones((qp_num, G_CH_ENC_DEC))
+    p["q_scale_dec"] = jnp.ones((qp_num, G_CH_ENC_DEC))
+    p["bit_estimator_z"] = bit_estimator_init(next(k), qp_num, z_channel)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# sub-network applies (pure)
+# ---------------------------------------------------------------------------
+
+def _dcb_seq(params_list, x):
+    for p in params_list:
+        x = L.depth_conv_block_apply(p, x)
+    return x
+
+
+def intra_encoder(p, x, q_enc):
+    out = F.space_to_depth(x, 8)
+    out = L.depth_conv_block_apply(p["enc1"], out, quant_step=q_enc)
+    out = _dcb_seq(p["enc2"], out)
+    return L.conv_apply(p["enc_down"], out, stride=2, padding=1)
+
+
+def intra_decoder(p, y_hat, q_dec):
+    out = L.res_block_upsample_apply(p["dec1_up"], y_hat)
+    for i, bp in enumerate(p["dec1"]):
+        if i == len(p["dec1"]) - 1:
+            out = L.depth_conv_block_apply(bp, out, quant_step=q_dec)
+        else:
+            out = L.depth_conv_block_apply(bp, out)
+    out = L.depth_conv_block_apply(p["dec2"], out)
+    return F.depth_to_space(out, 8)
+
+
+def hyper_encoder(p, y_pad):
+    h = L.depth_conv_block_apply(p["hyper_enc"][0], y_pad)
+    h = L.res_block_stride2_apply(p["hyper_enc"][1], h)
+    return L.res_block_stride2_apply(p["hyper_enc"][2], h)
+
+
+def hyper_decoder(p, z_hat):
+    h = L.res_block_upsample_apply(p["hyper_dec"][0], z_hat)
+    h = L.res_block_upsample_apply(p["hyper_dec"][1], h)
+    return L.depth_conv_block_apply(p["hyper_dec"][2], h)
+
+
+def prior_fusion(p, params_in):
+    h = _dcb_seq(p["y_prior_fusion"][:3], params_in)
+    return L.conv_apply(p["y_prior_fusion"][3], h)
+
+
+def spatial_prior(p, adaptor_p, x):
+    h = L.depth_conv_block_apply(adaptor_p, x)
+    h = _dcb_seq(p["y_spatial_prior"][:3], h)
+    return L.conv_apply(p["y_spatial_prior"][3], h)
+
+
+# ---------------------------------------------------------------------------
+# jit stage functions
+# ---------------------------------------------------------------------------
+
+def _stage_enc_front(p, x, qp):
+    q_enc = p["q_scale_enc"][qp][None, None, None, :].astype(x.dtype)
+    y = intra_encoder(p, x, q_enc)
+    y_pad = C.pad_for_y(y)
+    z = hyper_encoder(p, y_pad)
+    z_hat, z_int8 = F.round_and_to_int8(z)
+    return y, z_hat.astype(x.dtype), z_int8
+
+
+def _stage_prior(p, z_hat, y_h, y_w):
+    """Shared enc/dec: z_hat -> separated prior + reduced context."""
+    params = hyper_decoder(p, z_hat)
+    params = prior_fusion(p, params)
+    params = params[:, :y_h, :y_w, :]
+    q_enc, q_dec, scales, means = C.separate_prior_image(params)
+    reduced = L.conv_apply(p["reduction"], params)
+    return q_enc, q_dec, scales, means, reduced
+
+
+def _stage_spatial(p, k, y_hat_so_far, reduced):
+    """Shared enc/dec: spatial-prior pass k in {1,2,3}."""
+    adaptor = p[f"adaptor_{k}"]
+    cat = jnp.concatenate((y_hat_so_far, reduced), axis=-1)
+    out = spatial_prior(p, adaptor, cat)
+    c = out.shape[-1] // 2
+    return out[..., :c], out[..., c:]
+
+
+def _stage_fold_index(scales, k, force_zero_thres):
+    """Shared enc/dec: fold the active-quarter scales and build CDF
+    indexes; identical bits on both sides by construction."""
+    _, h, w, c = scales.shape
+    masks = F.checkerboard_masks_4x(h, w, c, scales.dtype)
+    scales_r = F.fold_quarters(scales * masks[k])
+    ge = GaussianEncoder
+    indexes, skip = F.build_index_dec(
+        scales_r, ge.SCALE_MIN, ge.SCALE_MAX,
+        float(np.log(ge.SCALE_MIN)),
+        (ge.SCALE_LEVELS - 1) / (np.log(ge.SCALE_MAX) - np.log(ge.SCALE_MIN)),
+        force_zero_thres)
+    return indexes, skip
+
+
+def _stage_enc_mask(y, scales, means, k, force_zero_thres):
+    """Encoder-only: quantize pass k, return folded int16 symbols and the
+    running y_hat contribution."""
+    _, h, w, c = y.shape
+    masks = F.checkerboard_masks_4x(h, w, c, y.dtype)
+    _, y_q, y_hat, _ = F.process_with_mask(y, scales, means, masks[k],
+                                           force_zero_thres)
+    y_q_folded = F.fold_quarters(y_q).astype(jnp.int16)
+    return y_q_folded, y_hat
+
+
+def _stage_dec_restore(y_q_r, means, k):
+    """Decoder-only: scatter decoded symbols back through mask k."""
+    _, h, w, c = means.shape
+    masks = F.checkerboard_masks_4x(h, w, c, means.dtype)
+    return F.restore_y_4x(y_q_r, means, masks[k])
+
+
+def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
+    """Shared enc/dec: final dequant + intra decoder + clamp."""
+    y_hat = y_hat_so_far * q_dec_prior
+    q_dec = p["q_scale_dec"][qp][None, None, None, :].astype(y_hat.dtype)
+    x_hat = intra_decoder(p, y_hat, q_dec)
+    return jnp.clip(x_hat, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# host orchestrator
+# ---------------------------------------------------------------------------
+
+class DMCI:
+    def __init__(self, N=256, z_channel=128, dtype=jnp.float32):
+        self.N = N
+        self.z_channel = z_channel
+        self.dtype = dtype
+        self.params = None
+        self.entropy_coder = None
+        self.bit_estimator_z = BitEstimator(C.QP_NUM, z_channel)
+        self.gaussian_encoder = GaussianEncoder()
+        self.force_zero_thres = None
+
+        self._j_enc_front = jax.jit(_stage_enc_front)
+        self._j_prior = jax.jit(_stage_prior, static_argnums=(2, 3))
+        self._j_spatial = jax.jit(_stage_spatial, static_argnums=(1,))
+        self._j_fold_index = jax.jit(_stage_fold_index,
+                                     static_argnums=(1, 2))
+        self._j_enc_mask = jax.jit(_stage_enc_mask, static_argnums=(3, 4))
+        self._j_dec_restore = jax.jit(_stage_dec_restore,
+                                      static_argnums=(2,))
+        self._j_recon = jax.jit(_stage_recon)
+
+    # -- setup --------------------------------------------------------------
+
+    @staticmethod
+    def get_qp_num():
+        return C.QP_NUM
+
+    @staticmethod
+    def get_padding_size(height, width, p=64):
+        return C.get_padding_size(height, width, p)
+
+    @staticmethod
+    def get_downsampled_shape(height, width, p):
+        return C.get_downsampled_shape(height, width, p)
+
+    def init_params(self, seed=0):
+        self.params = dmci_init(jax.random.PRNGKey(seed), self.N,
+                                self.z_channel)
+        if self.dtype != jnp.float32:
+            self.params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.dtype)
+                if a.dtype == jnp.float32 else a, self.params)
+        return self.params
+
+    def load_params(self, params):
+        self.params = params
+
+    def update(self, force_zero_thres=None):
+        """Build CDF tables and bind the entropy coder (reference
+        common_model.py:49-52)."""
+        self.entropy_coder = EntropyCoder()
+        self.force_zero_thres = force_zero_thres
+        self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
+        self.bit_estimator_z.update(self.params["bit_estimator_z"],
+                                    self.entropy_coder)
+
+    def set_use_two_entropy_coders(self, b):
+        self.entropy_coder.set_use_two_entropy_coders(b)
+
+    # -- compress -----------------------------------------------------------
+
+    def compress(self, x, qp):
+        """x: (1, H, W, 3) in [0,1], H/W multiples of 16. Returns dict with
+        bit_stream and x_hat."""
+        p = self.params
+        fz = self.force_zero_thres
+        qp_dev = jnp.int32(qp)
+        x = jnp.asarray(x, dtype=self.dtype)
+
+        y, z_hat, z_int8 = self._j_enc_front(p, x, qp_dev)
+        y_h, y_w = y.shape[1], y.shape[2]
+        q_enc, q_dec_prior, scales, means, reduced = self._j_prior(
+            p, z_hat, y_h, y_w)
+
+        y = y * q_enc
+
+        packed_planes = []
+        skip_planes = []
+        y_hat_so_far = None
+        for k in range(4):
+            if k > 0:
+                scales, means = self._j_spatial(p, k, y_hat_so_far, reduced)
+            indexes, skip = self._j_fold_index(scales, k, fz)
+            y_q_folded, y_hat_k = self._j_enc_mask(y, scales, means, k, fz)
+            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
+            packed = (np.asarray(y_q_folded, dtype=np.int16) << 8) | \
+                np.asarray(indexes).astype(np.int16)
+            packed_planes.append(packed.reshape(-1))
+            skip_planes.append(None if skip is None
+                               else np.asarray(skip).reshape(-1))
+
+        x_hat = self._j_recon(p, y_hat_so_far, q_dec_prior, qp_dev)
+
+        self.entropy_coder.reset()
+        self.bit_estimator_z.encode_z(
+            np.asarray(z_int8).reshape(-1), qp)
+        for packed, skip in zip(packed_planes, skip_planes):
+            self.gaussian_encoder.encode_y_packed(packed, skip)
+        self.entropy_coder.flush()
+        bit_stream = self.entropy_coder.get_encoded_stream()
+
+        return {"bit_stream": bit_stream, "x_hat": x_hat}
+
+    # -- decompress ----------------------------------------------------------
+
+    def decompress(self, bit_stream, sps, qp):
+        p = self.params
+        fz = self.force_zero_thres
+        qp_dev = jnp.int32(qp)
+
+        self.entropy_coder.set_use_two_entropy_coders(sps["ec_part"] == 1)
+        self.entropy_coder.set_stream(bit_stream)
+        z_size = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"], 16)
+        self.bit_estimator_z.decode_z(z_size, qp)
+        z_np = self.bit_estimator_z.get_z(z_size)
+        z_hat = jnp.asarray(z_np, dtype=self.dtype)
+
+        _, q_dec_prior, scales, means, reduced = self._j_prior(
+            p, z_hat, y_h, y_w)
+
+        y_hat_so_far = None
+        for k in range(4):
+            if k > 0:
+                scales, means = self._j_spatial(p, k, y_hat_so_far, reduced)
+            indexes, skip = self._j_fold_index(scales, k, fz)
+            skip_np = None if skip is None else np.asarray(skip)
+            self.gaussian_encoder.decode_y(np.asarray(indexes), skip_np)
+            y_q_r = self.gaussian_encoder.get_y(
+                indexes.shape, skip_np, dtype=np.float32)
+            y_hat_k = self._j_dec_restore(
+                jnp.asarray(y_q_r, dtype=self.dtype), means, k)
+            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
+
+        x_hat = self._j_recon(p, y_hat_so_far, q_dec_prior, qp_dev)
+        return {"x_hat": x_hat}
