@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 1080p P-frame encode throughput (DMC codec,
+full pipeline: NN forward + symbol packing + host rANS + bitstream).
+
+Prints ONE JSON line:
+  {"metric": "1080p_p_frame_enc_fps", "value": N, "unit": "fps",
+   "vs_baseline": N}
+Baseline: DCVC-RT on A100 = 125.2 fps encode (reference README.md:35).
+
+Env overrides:
+  BENCH_FRAMES (default 12), BENCH_HEIGHT/BENCH_WIDTH (default 1080/1920),
+  BENCH_DTYPE (float32|bfloat16, default bfloat16 on tpu else float32).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_ENC_FPS = 125.2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from opendcvc_tpu.models.dmc import DMC
+    from opendcvc_tpu.models.dmci import DMCI
+    from opendcvc_tpu.models import common as CM
+    from opendcvc_tpu.ops.fused import replicate_pad
+
+    platform = jax.devices()[0].platform
+    n_frames = int(os.environ.get("BENCH_FRAMES", 12))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    dtype_name = os.environ.get(
+        "BENCH_DTYPE", "bfloat16" if platform == "tpu" else "float32")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    i_net = DMCI(dtype=dtype)
+    i_net.init_params(seed=0)
+    i_net.update()
+    p_net = DMC(dtype=dtype)
+    p_net.init_params(seed=1)
+    # moderate symbol magnitudes for a realistic entropy-coding load
+    p_net.params["q_encoder"] = p_net.params["q_encoder"] * 0.5
+    p_net.update()
+
+    pr, pb = CM.get_padding_size(height, width, 16)
+    use_two = height * width > 1280 * 720
+    i_net.set_use_two_entropy_coders(use_two)
+    p_net.set_use_two_entropy_coders(use_two)
+
+    rng = np.random.default_rng(0)
+    base = rng.random((1, height, width, 3), dtype=np.float32)
+
+    def frame(t):
+        x = np.roll(base, 4 * t, axis=2)
+        return jnp.asarray(replicate_pad(jnp.asarray(x, dtype), pb, pr))
+
+    # I-frame to seed the DPB
+    x0 = frame(0)
+    enc0 = i_net.compress(x0, 21)
+    p_net.clear_dpb()
+    p_net.set_curr_poc(0)
+    p_net.add_ref_frame(None, enc0["x_hat"])
+
+    # warmup (compile)
+    for t in (1, 2):
+        s = p_net.compress(frame(t), 21)
+        assert len(s["bit_stream"]) > 0
+
+    times = []
+    total_bits = 0
+    for t in range(3, 3 + n_frames):
+        x = frame(t)
+        x.block_until_ready()
+        t0 = time.perf_counter()
+        out = p_net.compress(x, 21)
+        times.append(time.perf_counter() - t0)
+        total_bits += len(out["bit_stream"]) * 8
+
+    avg = sum(times) / len(times)
+    fps = 1.0 / avg
+    bpp = total_bits / (n_frames * height * width)
+    result = {
+        "metric": "1080p_p_frame_enc_fps",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_ENC_FPS, 4),
+    }
+    print(json.dumps(result))
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"# platform={platform} dtype={dtype_name} "
+              f"frames={n_frames} {height}x{width} "
+              f"avg={avg * 1000:.2f}ms bpp={bpp:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,9 +48,13 @@ def conv_apply(p, x, stride=1, padding=0, groups=1):
     """2D conv, NHWC, explicit symmetric padding (torch semantics)."""
     pad = ((padding, padding), (padding, padding))
     w = p["w"].astype(x.dtype)
+    # Full input-dtype accumulation: fp32 runs must be exactly reproducible
+    # between the encode and decode graphs (stream correctness), so never
+    # let the backend silently drop conv inputs to bf16.
     out = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=pad,
-        dimension_numbers=_DIMNUMS, feature_group_count=groups)
+        dimension_numbers=_DIMNUMS, feature_group_count=groups,
+        precision=lax.Precision.HIGHEST)
     return out + p["b"].astype(x.dtype)
 
 

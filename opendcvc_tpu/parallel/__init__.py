@@ -1,0 +1,3 @@
+from .mesh import make_mesh, batch_sharding, replicate_sharding
+
+__all__ = ["make_mesh", "batch_sharding", "replicate_sharding"]
