@@ -97,35 +97,43 @@ def _np_cdf(params_np, x):
 
 
 class BitEstimator:
-    """Host-side helper owning the CDF tables + coder bindings for z."""
+    """Host-side helper owning the CDF tables + coder bindings for z.
 
-    def __init__(self, qp_num, channel):
+    support: half-width of the symbol-support scan — 8 for the RT models
+    (reference entropy_models.py:161) and 50 for the older family
+    generation (EVC entropy_models.py:140); symbols beyond int8 range are
+    escape-coded either way.
+    """
+
+    def __init__(self, qp_num, channel, support=8):
         self.qp_num = qp_num
         self.channel = channel
+        self.support = support
         self.entropy_coder = None
         self.cdf_group_index = None
 
     def update(self, params, entropy_coder):
         """Sample the learned CDF and register quantized tables.
 
-        Mirrors reference entropy_models.py:152-205: scan [-8, 8] for the
-        support, evaluate pmf at half-integer offsets, quantize.
+        Mirrors reference entropy_models.py:152-205: scan the support,
+        evaluate pmf at half-integer offsets, quantize.
         """
         self.entropy_coder = entropy_coder
         p = jax.tree_util.tree_map(
             lambda a: np.asarray(a, dtype=np.float64), dict(params))
         Q, C = self.qp_num, self.channel
+        S = self.support
 
         def cdf_at(v):
             x = np.full((Q, C, 1), float(v), dtype=np.float64)
             return _np_cdf(p, x)[:, :, 0]
 
-        minima = np.full((Q, C), 8, dtype=np.int64)
-        for i in range(8, 1, -1):
+        minima = np.full((Q, C), S, dtype=np.int64)
+        for i in range(S, 1, -1):
             probs = cdf_at(-i)
             minima = np.where(probs < 1e-4, i, minima)
-        maxima = np.full((Q, C), 8, dtype=np.int64)
-        for i in range(8, 1, -1):
+        maxima = np.full((Q, C), S, dtype=np.int64)
+        for i in range(S, 1, -1):
             probs = cdf_at(i)
             maxima = np.where(probs > 0.9999, i, maxima)
 
@@ -177,15 +185,34 @@ def _normal_cdf(x):
     return 0.5 * (1.0 + sp_special.erf(x / math.sqrt(2.0)))
 
 
+def _laplace_cdf(x):
+    """CDF of Laplace(0, b=1) evaluated at x (x pre-divided by scale)."""
+    return np.where(x < 0, 0.5 * np.exp(x), 1.0 - 0.5 * np.exp(-x))
+
+
 class GaussianEncoder:
-    """Conditional Gaussian coder over a log-spaced scale table
-    (reference entropy_models.py:227-341)."""
+    """Conditional coder over a log-spaced scale table.
+
+    Defaults are the RT generation (gaussian, [0.11, 16], 128 levels,
+    reference entropy_models.py:227-341); the family generation uses 256
+    levels up to 64 and optionally a Laplace distribution (EVC
+    entropy_models.py:204-218); `support` bounds the per-scale pmf width.
+    """
 
     SCALE_MIN = 0.11
     SCALE_MAX = 16.0
     SCALE_LEVELS = 128
 
-    def __init__(self):
+    def __init__(self, distribution="gaussian", scale_min=None,
+                 scale_max=None, scale_levels=None, support=8):
+        self.distribution = distribution
+        self.SCALE_MIN = scale_min if scale_min is not None else \
+            (0.01 if distribution == "laplace" else 0.11)
+        self.SCALE_MAX = scale_max if scale_max is not None else \
+            type(self).SCALE_MAX
+        self.SCALE_LEVELS = scale_levels if scale_levels is not None else \
+            type(self).SCALE_LEVELS
+        self.support = support
         self.log_scale_min = math.log(self.SCALE_MIN)
         self.log_scale_max = math.log(self.SCALE_MAX)
         self.log_scale_step = ((self.log_scale_max - self.log_scale_min)
@@ -197,22 +224,28 @@ class GaussianEncoder:
         self.cdf_group_index = None
         self.force_zero_thres = None
 
+    def _cdf(self, x):
+        if self.distribution == "laplace":
+            return _laplace_cdf(x)
+        return _normal_cdf(x)
+
     def update(self, entropy_coder, force_zero_thres=None):
         self.entropy_coder = entropy_coder
         self.force_zero_thres = force_zero_thres
 
+        S = self.support
         scales = self.scale_table.astype(np.float64)
-        pmf_center = np.full(self.SCALE_LEVELS, 8, dtype=np.int64)
-        for i in range(8, 1, -1):
-            probs = _normal_cdf(i / scales)
+        pmf_center = np.full(self.SCALE_LEVELS, S, dtype=np.int64)
+        for i in range(S, 1, -1):
+            probs = self._cdf(i / scales)
             pmf_center = np.where(probs > 0.9999, i, pmf_center)
 
         pmf_length = 2 * pmf_center + 1
         max_length = int(pmf_length.max())
         samples = (np.arange(max_length, dtype=np.float64)[None, :]
                    - pmf_center[:, None])
-        upper = _normal_cdf((samples + 0.5) / scales[:, None])
-        lower = _normal_cdf((samples - 0.5) / scales[:, None])
+        upper = self._cdf((samples + 0.5) / scales[:, None])
+        lower = self._cdf((samples - 0.5) / scales[:, None])
         pmf = upper - lower
         tail_mass = 2 * lower[:, :1]
 

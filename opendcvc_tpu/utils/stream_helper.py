@@ -157,3 +157,63 @@ def read_ip_remaining(f):
     stream_length = read_uint_adaptive(f)
     bit_stream = read_bytes(f, stream_length)
     return qp, bit_stream
+
+
+# ---------------------------------------------------------------------------
+# flat intra-only container + continuous-rate helpers (EVC / HEM era,
+# reference: DCVC-family/EVC/src/utils/stream_helper.py:40-144)
+# ---------------------------------------------------------------------------
+
+def write_uints(fd, values):
+    fd.write(struct.pack(f">{len(values)}I", *values))
+    return len(values) * 4
+
+
+def read_uints(fd, n):
+    return struct.unpack(f">{n}I", fd.read(n * 4))
+
+
+def write_ushorts(fd, values):
+    fd.write(struct.pack(f">{len(values)}H", *values))
+    return len(values) * 2
+
+
+def read_ushorts(fd, n):
+    return struct.unpack(f">{n}H", fd.read(n * 2))
+
+
+def get_rounded_q(q_scale):
+    """Quantize a continuous rate scalar to 1/100 steps for the header."""
+    q_scale = min(max(float(q_scale), 0.01), 655.0)
+    q_index = int(round(q_scale * 100))
+    return q_index / 100, q_index
+
+
+def encode_i(height, width, q_index, bit_stream, output):
+    with Path(output).open("wb") as f:
+        write_uints(f, (height, width))
+        write_ushorts(f, (q_index,))
+        write_uints(f, (len(bit_stream),))
+        write_bytes(f, bit_stream)
+
+
+def decode_i(inputpath):
+    with Path(inputpath).open("rb") as f:
+        height, width = read_uints(f, 2)
+        q_index = read_ushorts(f, 1)[0]
+        stream_length = read_uints(f, 1)[0]
+        bit_stream = read_bytes(f, stream_length)
+    return height, width, q_index, bit_stream
+
+
+def interpolate_log(min_val, max_val, num, decending=True):
+    """Log-spaced rate ladder between anchor q_scales (HEM-era harness
+    convention)."""
+    import numpy as _np
+    assert num > 1
+    assert min_val < max_val
+    if decending:
+        values = _np.linspace(_np.log(max_val), _np.log(min_val), num)
+    else:
+        values = _np.linspace(_np.log(min_val), _np.log(max_val), num)
+    return _np.exp(values).tolist()
