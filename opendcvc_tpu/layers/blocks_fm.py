@@ -114,6 +114,70 @@ def dcb4_apply(p, x):
     return conv_ffn3_apply(p["ffn"], depth_conv_apply(p["dc"], x))
 
 
+def depth_conv2_init(key, in_ch, out_ch):
+    """Gated DepthConv (layers.py:180-202): out_conv(conv1(x) * conv2(x))."""
+    ks = jax.random.split(key, 5)
+    p = {"c1a": conv_init(ks[0], in_ch, out_ch, 1),
+         "c1dw": conv_init(ks[1], out_ch, out_ch, 3, groups=out_ch),
+         "c2": conv_init(ks[2], in_ch, out_ch, 1),
+         "out": conv_init(ks[3], out_ch, out_ch, 1)}
+    if in_ch != out_ch:
+        p["adaptor"] = conv_init(ks[4], in_ch, out_ch, 1)
+    return p
+
+
+def depth_conv2_apply(p, x, slope=0.01):
+    identity = x
+    if "adaptor" in p:
+        identity = conv_apply(p["adaptor"], x)
+    c_out = p["c2"]["b"].shape[0]
+    x1 = lrelu(conv_apply(p["c1a"], x), slope)
+    x1 = conv_apply(p["c1dw"], x1, padding=1, groups=c_out)
+    x2 = conv_apply(p["c2"], x)
+    return identity + conv_apply(p["out"], x1 * x2)
+
+
+def dcb3_init(key, in_ch, out_ch):
+    k1, k2 = jax.random.split(key)
+    return {"dc": depth_conv2_init(k1, in_ch, out_ch),
+            "ffn": conv_ffn2_init(k2, out_ch)}
+
+
+def dcb3_apply(p, x):
+    return conv_ffn2_apply(p["ffn"], depth_conv2_apply(p["dc"], x))
+
+
+def unet_init(key, in_ch, out_ch):
+    """UNet (video_net.py:124-165): DCB2 blocks, strided-conv downsamples."""
+    ks = jax.random.split(key, 11)
+    return {
+        "conv1": dcb2_init(ks[0], in_ch, 32),
+        "down1": conv_init(ks[1], 32, 32, 2),
+        "conv2": dcb2_init(ks[2], 32, 64),
+        "down2": conv_init(ks[3], 64, 64, 2),
+        "conv3": dcb2_init(ks[4], 64, 128),
+        "refine": [dcb2_init(k, 128, 128) for k in ks[5:9]],
+        "up3": subpel1x1_init(ks[9], 128, 64),
+        "up_conv3": dcb2_init(ks[10], 128, 64),
+        "up2": subpel1x1_init(jax.random.fold_in(key, 98), 64, 32),
+        "up_conv2": dcb2_init(jax.random.fold_in(key, 99), 64, out_ch),
+    }
+
+
+def unet_apply(p, x):
+    x1 = dcb2_apply(p["conv1"], x)
+    x2 = conv_apply(p["down1"], x1, stride=2, padding=0)
+    x2 = dcb2_apply(p["conv2"], x2)
+    x3 = conv_apply(p["down2"], x2, stride=2, padding=0)
+    x3 = dcb2_apply(p["conv3"], x3)
+    for rp in p["refine"]:
+        x3 = dcb2_apply(rp, x3)
+    d3 = subpel1x1_apply(p["up3"], x3)
+    d3 = dcb2_apply(p["up_conv3"], jnp.concatenate((x2, d3), axis=-1))
+    d2 = subpel1x1_apply(p["up2"], d3)
+    return dcb2_apply(p["up_conv2"], jnp.concatenate((x1, d2), axis=-1))
+
+
 def res_block_init(key, in_ch, out_ch):
     """Pre-activation ResBlock (video_net.py:26-44)."""
     ks = jax.random.split(key, 3)

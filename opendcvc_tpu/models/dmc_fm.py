@@ -1,0 +1,691 @@
+"""DCVC-FM — feature-modulated wide-range video codec, TPU-native.
+
+Re-design of the reference DCVC-FM (reference:
+DCVC-family/DCVC-FM/src/models/video_model.py): explicit motion coding
+(SpyNet optical flow -> coded motion latent -> bilinear-warp motion
+compensation with OffsetDiversity refinement), multi-scale feature
+propagation, latent refs (ref_y, ref_mv_y) fused into the priors,
+four-part quadtree entropy coding for both mv and contextual latents,
+and a 0-63 continuous QP realized by log-interpolating each quant bank
+between learned min/max (common_model.py:37-51) — one model for the full
+rate range and intra-period -1 via fa_idx-cycled feature adaptors.
+
+Stage discipline matches the other codecs: every subgraph evaluated by
+both encoder and decoder is one shared jitted function, so the DPB
+(frame, feature, mv_feature, y, mv_y) propagates bit-identically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..layers import blocks_fm as FM
+from ..layers.blocks import conv_init, conv_apply
+from ..ops import fused as F
+from ..ops.warp import flow_warp, bilinear_resize_2x
+from ..entropy.coder import EntropyCoder
+from ..entropy.models import BitEstimator, GaussianEncoder, \
+    bit_estimator_init
+from . import common as C
+
+G_CH_1X = 48
+G_CH_2X = 64
+G_CH_4X = 96
+G_CH_8X = 96
+G_CH_16X = 128
+G_CH_Z = 64
+CH_MV = 64
+QP_NUM = 64
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def dmc_fm_init(key):
+    ks = iter(jax.random.split(key, 96))
+    p = {}
+    p["optic_flow"] = FM.spynet_init(next(ks))
+
+    # OffsetDiversity (video_model.py:26-63)
+    aux = G_CH_1X + 3 + 2
+    p["align"] = {
+        "off1": conv_init(next(ks), aux, G_CH_2X, 3),
+        "off2": conv_init(next(ks), G_CH_2X, G_CH_2X, 3),
+        "off3": conv_init(next(ks), G_CH_2X, 3 * 16 * 2, 3),
+        "fusion": conv_init(next(ks), G_CH_1X * 2, G_CH_1X, 1, groups=16),
+    }
+
+    # MvEnc / MvDec
+    p["mv_enc"] = {
+        "enc1_rbs": FM.res_block_stride_init(next(ks), 2, CH_MV),
+        "enc1_dcb": FM.dcb4_init(next(ks), CH_MV, CH_MV),
+        "enc2": FM.res_block_stride_init(next(ks), CH_MV, CH_MV),
+        "adaptor_0": FM.dcb4_init(next(ks), CH_MV, CH_MV),
+        "adaptor_1": FM.dcb4_init(next(ks), CH_MV * 2, CH_MV),
+        "enc3_rbs": FM.res_block_stride_init(next(ks), CH_MV, CH_MV),
+        "enc3_dcb": FM.dcb4_init(next(ks), CH_MV, CH_MV),
+        "enc3_down": conv_init(next(ks), CH_MV, CH_MV, 3),
+    }
+    p["mv_dec"] = {
+        "dec1": [FM.dcb4_init(next(ks), CH_MV, CH_MV),
+                 FM.res_block_upsample_init(next(ks), CH_MV, CH_MV),
+                 FM.dcb4_init(next(ks), CH_MV, CH_MV),
+                 FM.res_block_upsample_init(next(ks), CH_MV, CH_MV),
+                 FM.dcb4_init(next(ks), CH_MV, CH_MV)],
+        "dec2": FM.res_block_upsample_init(next(ks), CH_MV, CH_MV),
+        "dec3_dcb": FM.dcb4_init(next(ks), CH_MV, CH_MV),
+        "dec3_subpel": FM.subpel1x1_init(next(ks), CH_MV, 2),
+    }
+
+    # mv hyper + priors
+    p["mv_hyper_enc"] = {
+        "dcb": FM.dcb4_init(next(ks), CH_MV, CH_MV),
+        "c1": conv_init(next(ks), CH_MV, CH_MV, 3),
+        "c2": conv_init(next(ks), CH_MV, CH_MV, 3),
+    }
+    p["mv_hyper_dec"] = [FM.res_block_upsample_init(next(ks), CH_MV, CH_MV),
+                         FM.res_block_upsample_init(next(ks), CH_MV, CH_MV),
+                         FM.dcb4_init(next(ks), CH_MV, CH_MV)]
+    p["mv_fusion_adaptor_0"] = FM.dcb_init(next(ks), CH_MV, CH_MV * 2)
+    p["mv_fusion_adaptor_1"] = FM.dcb_init(next(ks), CH_MV * 2, CH_MV * 2)
+    p["mv_fusion"] = [FM.dcb_init(next(ks), CH_MV * 2, CH_MV * 3),
+                      FM.dcb_init(next(ks), CH_MV * 3, CH_MV * 3)]
+    p["mv_sp_adaptor_1"] = conv_init(next(ks), CH_MV * 4, CH_MV * 3, 1)
+    p["mv_sp_adaptor_2"] = conv_init(next(ks), CH_MV * 4, CH_MV * 3, 1)
+    p["mv_sp_adaptor_3"] = conv_init(next(ks), CH_MV * 4, CH_MV * 3, 1)
+    p["mv_spatial_prior"] = [FM.dcb_init(next(ks), CH_MV * 3, CH_MV * 3),
+                             FM.dcb_init(next(ks), CH_MV * 3, CH_MV * 3),
+                             FM.dcb_init(next(ks), CH_MV * 3, CH_MV * 2)]
+
+    # feature pipeline
+    p["feature_adaptor_I"] = conv_init(next(ks), 3, G_CH_1X, 3)
+    p["feature_adaptor"] = [conv_init(next(ks), G_CH_1X, G_CH_1X, 1)
+                            for _ in range(3)]
+    p["feature_extractor"] = {
+        "c1": conv_init(next(ks), G_CH_1X, G_CH_1X, 3),
+        "r1": FM.res_block_init(next(ks), G_CH_1X, G_CH_1X),
+        "c2": conv_init(next(ks), G_CH_1X, G_CH_2X, 3),
+        "r2": FM.res_block_init(next(ks), G_CH_2X, G_CH_2X),
+        "c3": conv_init(next(ks), G_CH_2X, G_CH_4X, 3),
+        "r3": FM.res_block_init(next(ks), G_CH_4X, G_CH_4X),
+    }
+    p["ctx_fusion"] = {
+        "c3_up": conv_init(next(ks), G_CH_4X, G_CH_2X * 4, 3),
+        "r3_up": FM.res_block_init(next(ks), G_CH_2X, G_CH_2X),
+        "c3_out": conv_init(next(ks), G_CH_4X, G_CH_4X, 3),
+        "r3_out": FM.res_block_init(next(ks), G_CH_4X, G_CH_4X),
+        "c2_up": conv_init(next(ks), G_CH_2X * 2, G_CH_1X * 4, 3),
+        "r2_up": FM.res_block_init(next(ks), G_CH_1X, G_CH_1X),
+        "c2_out": conv_init(next(ks), G_CH_2X * 2, G_CH_2X, 3),
+        "r2_out": FM.res_block_init(next(ks), G_CH_2X, G_CH_2X),
+        "c1_out": conv_init(next(ks), G_CH_1X * 2, G_CH_1X, 3),
+        "r1_out": FM.res_block_init(next(ks), G_CH_1X, G_CH_1X),
+    }
+
+    # contextual enc/dec
+    p["ctx_enc"] = {
+        "c1": conv_init(next(ks), G_CH_1X + 3, G_CH_2X, 3),
+        "r1": FM.dcb4_init(next(ks), G_CH_2X * 2, G_CH_2X * 2),
+        "c2": conv_init(next(ks), G_CH_2X * 2, G_CH_4X, 3),
+        "r2": FM.dcb4_init(next(ks), G_CH_4X * 2, G_CH_4X * 2),
+        "c3": conv_init(next(ks), G_CH_4X * 2, G_CH_8X, 3),
+        "c4": conv_init(next(ks), G_CH_8X, G_CH_16X, 3),
+    }
+    p["ctx_dec"] = {
+        "up1": conv_init(next(ks), G_CH_16X, G_CH_8X * 4, 3),
+        "up2": conv_init(next(ks), G_CH_8X, G_CH_4X * 4, 3),
+        "r1": FM.dcb4_init(next(ks), G_CH_4X * 2, G_CH_4X * 2),
+        "up3": conv_init(next(ks), G_CH_4X * 2, G_CH_2X * 4, 3),
+        "r2": FM.dcb4_init(next(ks), G_CH_2X * 2, G_CH_2X * 2),
+        "up4": conv_init(next(ks), G_CH_2X * 2, 32 * 4, 3),
+    }
+    p["recon"] = {
+        "first": conv_init(next(ks), G_CH_1X + 32, G_CH_1X, 3),
+        "unet1": FM.unet2_init(next(ks), G_CH_1X, G_CH_1X),
+        "unet2": FM.unet2_init(next(ks), G_CH_1X, G_CH_1X),
+        "head": conv_init(next(ks), G_CH_1X, 3, 3),
+    }
+
+    # contextual hyper + priors
+    p["hyper_enc"] = {
+        "dcb": FM.dcb4_init(next(ks), G_CH_16X, G_CH_Z),
+        "c1": conv_init(next(ks), G_CH_Z, G_CH_Z, 3),
+        "c2": conv_init(next(ks), G_CH_Z, G_CH_Z, 3),
+    }
+    p["hyper_dec"] = [FM.res_block_upsample_init(next(ks), G_CH_Z, G_CH_Z),
+                      FM.res_block_upsample_init(next(ks), G_CH_Z, G_CH_Z),
+                      FM.dcb4_init(next(ks), G_CH_Z, G_CH_16X)]
+    p["temporal_prior"] = {
+        "c1": conv_init(next(ks), G_CH_4X, G_CH_8X, 3),
+        "c2": conv_init(next(ks), G_CH_8X, G_CH_16X, 3),
+    }
+    p["y_fusion_adaptor_0"] = FM.dcb_init(next(ks), G_CH_16X * 2,
+                                          G_CH_16X * 3)
+    p["y_fusion_adaptor_1"] = FM.dcb_init(next(ks), G_CH_16X * 3,
+                                          G_CH_16X * 3)
+    p["y_fusion"] = [FM.dcb_init(next(ks), G_CH_16X * 3, G_CH_16X * 3),
+                     FM.dcb_init(next(ks), G_CH_16X * 3, G_CH_16X * 3)]
+    p["y_sp_adaptor_1"] = conv_init(next(ks), G_CH_16X * 4, G_CH_16X * 3, 1)
+    p["y_sp_adaptor_2"] = conv_init(next(ks), G_CH_16X * 4, G_CH_16X * 3, 1)
+    p["y_sp_adaptor_3"] = conv_init(next(ks), G_CH_16X * 4, G_CH_16X * 3, 1)
+    p["y_spatial_prior"] = [FM.dcb_init(next(ks), G_CH_16X * 3, G_CH_16X * 3),
+                            FM.dcb_init(next(ks), G_CH_16X * 3, G_CH_16X * 3),
+                            FM.dcb_init(next(ks), G_CH_16X * 3, G_CH_16X * 2)]
+
+    # min/max quant anchors (log-interpolated over 64 QPs)
+    p["mv_y_q_enc"] = jnp.ones((2,))
+    p["mv_y_q_dec"] = jnp.ones((2,))
+    p["y_q_enc"] = jnp.ones((2,))
+    p["y_q_dec"] = jnp.ones((2,))
+
+    p["bit_estimator_z"] = bit_estimator_init(next(ks), 1, G_CH_Z)
+    p["bit_estimator_z_mv"] = bit_estimator_init(next(ks), 1, CH_MV)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# sub-network applies
+# ---------------------------------------------------------------------------
+
+def get_curr_q(anchors, q_index, qp_num=QP_NUM):
+    """Log-interpolate between learned (min, max) anchors
+    (common_model.py:37-51)."""
+    min_q = anchors[0]
+    max_q = anchors[1]
+    step = (jnp.log(max_q) - jnp.log(min_q)) / (qp_num - 1)
+    return jnp.exp(jnp.log(min_q) + step * q_index)
+
+
+def _seq(apply_fn, plist, x):
+    for bp in plist:
+        x = apply_fn(bp, x)
+    return x
+
+
+def mv_encoder(p, est_mv, ref_mv_feature, q):
+    e = p["mv_enc"]
+    out = FM.res_block_stride_apply(e["enc1_rbs"], est_mv)
+    out = FM.dcb4_apply(e["enc1_dcb"], out)
+    out = out * q
+    out = FM.res_block_stride_apply(e["enc2"], out)
+    if ref_mv_feature is None:
+        out = FM.dcb4_apply(e["adaptor_0"], out)
+    else:
+        out = FM.dcb4_apply(e["adaptor_1"],
+                            jnp.concatenate((out, ref_mv_feature), axis=-1))
+    out = FM.res_block_stride_apply(e["enc3_rbs"], out)
+    out = FM.dcb4_apply(e["enc3_dcb"], out)
+    return conv_apply(e["enc3_down"], out, stride=2, padding=1)
+
+
+def mv_decoder(p, mv_y_hat, q):
+    d = p["mv_dec"]
+    feat = FM.dcb4_apply(d["dec1"][0], mv_y_hat)
+    feat = FM.res_block_upsample_apply(d["dec1"][1], feat)
+    feat = FM.dcb4_apply(d["dec1"][2], feat)
+    feat = FM.res_block_upsample_apply(d["dec1"][3], feat)
+    feat = FM.dcb4_apply(d["dec1"][4], feat)
+    out = FM.res_block_upsample_apply(d["dec2"], feat)
+    out = out * q
+    out = FM.dcb4_apply(d["dec3_dcb"], out)
+    mv = FM.subpel1x1_apply(d["dec3_subpel"], out)
+    return mv, feat
+
+
+def hyper_enc_apply(hp, y_pad):
+    out = FM.dcb4_apply(hp["dcb"], y_pad)
+    out = FM.lrelu(conv_apply(hp["c1"], out, stride=2, padding=1), 0.01)
+    return conv_apply(hp["c2"], out, stride=2, padding=1)
+
+
+def feature_extractor(p, feature):
+    fe = p["feature_extractor"]
+    l1 = FM.res_block_apply(fe["r1"], conv_apply(fe["c1"], feature,
+                                                 padding=1))
+    l2 = FM.res_block_apply(fe["r2"], conv_apply(fe["c2"], l1, stride=2,
+                                                 padding=1))
+    l3 = FM.res_block_apply(fe["r3"], conv_apply(fe["c3"], l2, stride=2,
+                                                 padding=1))
+    return l1, l2, l3
+
+
+def context_fusion(p, c1, c2, c3):
+    from ..ops.fused import depth_to_space
+    f = p["ctx_fusion"]
+    c3_up = depth_to_space(conv_apply(f["c3_up"], c3, padding=1), 2)
+    c3_up = FM.res_block_apply(f["r3_up"], c3_up)
+    c3_out = FM.res_block_apply(f["r3_out"],
+                                conv_apply(f["c3_out"], c3, padding=1))
+    cat32 = jnp.concatenate((c3_up, c2), axis=-1)
+    c2_up = depth_to_space(conv_apply(f["c2_up"], cat32, padding=1), 2)
+    c2_up = FM.res_block_apply(f["r2_up"], c2_up)
+    c2_out = FM.res_block_apply(f["r2_out"],
+                                conv_apply(f["c2_out"], cat32, padding=1))
+    cat21 = jnp.concatenate((c2_up, c1), axis=-1)
+    c1_out = FM.res_block_apply(f["r1_out"],
+                                conv_apply(f["c1_out"], cat21, padding=1))
+    return c1 + c1_out, c2 + c2_out, c3 + c3_out
+
+
+def offset_diversity(p, x, aux, flow, group_num=16, offset_num=2,
+                     max_mag=40.0):
+    """Group-wise multi-offset warping with masks (video_model.py:26-63)."""
+    a = p["align"]
+    b, h, w, c = x.shape
+    out = FM.lrelu(conv_apply(a["off1"], aux, stride=2, padding=1), 0.1)
+    out = FM.lrelu(conv_apply(a["off2"], out, padding=1), 0.1)
+    out = conv_apply(a["off3"], out, padding=1)
+    out = bilinear_resize_2x(out, up=True)
+    go = group_num * offset_num
+    o1 = out[..., :go]
+    o2 = out[..., go:2 * go]
+    mask = jax.nn.sigmoid(out[..., 2 * go:])
+    # per (group, offset) flow = max_mag*tanh(o) + base flow
+    offx = max_mag * jnp.tanh(o1) + flow[..., 0:1]
+    offy = max_mag * jnp.tanh(o2) + flow[..., 1:2]
+
+    cg = c // group_num
+    go = group_num * offset_num
+    # one batched warp over all (group, offset) units: fold them into the
+    # batch dim so the gather runs as a single fused op on device
+    xg = x.reshape(b, h, w, group_num, cg)
+    xg = jnp.tile(xg[:, :, :, :, None, :], (1, 1, 1, 1, offset_num, 1))
+    xg = xg.transpose(0, 3, 4, 1, 2, 5).reshape(b * go, h, w, cg)
+    # offsets/mask channel i corresponds to unit (g = i // offset_num,
+    # o = i % offset_num) — matching xg's (g, o) unit order
+    flows = jnp.stack((offx, offy), axis=-1)  # (b, h, w, go, 2)
+    flows = flows.transpose(0, 3, 1, 2, 4).reshape(b * go, h, w, 2)
+    warped = flow_warp(xg, flows)
+    m = mask.transpose(0, 3, 1, 2).reshape(b * go, h, w, 1)
+    warped = warped * m
+    # fusion conv with groups=group_num: group g must see its offset_num
+    # warped copies contiguously -> (g, o, cg) channel order
+    warped = warped.reshape(b, group_num, offset_num, h, w, cg)
+    warped = warped.transpose(0, 3, 4, 1, 2, 5).reshape(
+        b, h, w, group_num * offset_num * cg)
+    return conv_apply(a["fusion"], warped, groups=group_num)
+
+
+def contextual_encoder(p, x, c1, c2, c3, q):
+    e = p["ctx_enc"]
+    feat = conv_apply(e["c1"], jnp.concatenate((x, c1), axis=-1),
+                      stride=2, padding=1)
+    feat = FM.dcb4_apply(e["r1"], jnp.concatenate((feat, c2), axis=-1))
+    feat = feat * q
+    feat = conv_apply(e["c2"], feat, stride=2, padding=1)
+    feat = FM.dcb4_apply(e["r2"], jnp.concatenate((feat, c3), axis=-1))
+    feat = conv_apply(e["c3"], feat, stride=2, padding=1)
+    return conv_apply(e["c4"], feat, stride=2, padding=1)
+
+
+def contextual_decoder(p, y_hat, c2, c3, q):
+    from ..ops.fused import depth_to_space
+    d = p["ctx_dec"]
+    feat = depth_to_space(conv_apply(d["up1"], y_hat, padding=1), 2)
+    feat = depth_to_space(conv_apply(d["up2"], feat, padding=1), 2)
+    feat = FM.dcb4_apply(d["r1"], jnp.concatenate((feat, c3), axis=-1))
+    feat = depth_to_space(conv_apply(d["up3"], feat, padding=1), 2)
+    feat = feat * q
+    feat = FM.dcb4_apply(d["r2"], jnp.concatenate((feat, c2), axis=-1))
+    return depth_to_space(conv_apply(d["up4"], feat, padding=1), 2)
+
+
+def recon_generation(p, res, c1):
+    r = p["recon"]
+    feat = conv_apply(r["first"], jnp.concatenate((c1, res), axis=-1),
+                      padding=1)
+    feat = FM.unet2_apply(r["unet1"], feat)
+    feat = FM.unet2_apply(r["unet2"], feat)
+    x_hat = conv_apply(r["head"], feat, padding=1)
+    return feat, jnp.clip(x_hat, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# four-part prior stages (video variant: chunk-3 prior, no reduction)
+# ---------------------------------------------------------------------------
+
+GE_CFG_FM = None  # filled by DMCFM.update from its GaussianEncoder
+
+
+def _fold_index_4x(scales, k, cfg):
+    _, h, w, c = scales.shape
+    masks = F.checkerboard_masks_4x(h, w, c, scales.dtype)
+    scales_r = F.fold_quarters(scales * masks[k])
+    smin, smax, lsm, recip = cfg
+    indexes, _ = F.build_index_dec(scales_r, smin, smax, lsm, recip, None)
+    return indexes
+
+
+def _enc_mask_4x(y, scales, means, k):
+    _, h, w, c = y.shape
+    masks = F.checkerboard_masks_4x(h, w, c, y.dtype)
+    _, y_q, y_hat, _ = F.process_with_mask(y, scales, means, masks[k], None)
+    return F.fold_quarters(y_q).astype(jnp.int16), y_hat
+
+
+def _dec_restore_4x(y_q_r, means, k):
+    _, h, w, c = means.shape
+    masks = F.checkerboard_masks_4x(h, w, c, means.dtype)
+    return F.restore_y_4x(y_q_r, means, masks[k])
+
+
+def _spatial_pass(adaptor_p, prior_list, y_hat_so_far, common_params):
+    cat = jnp.concatenate((y_hat_so_far, common_params), axis=-1)
+    h = conv_apply(adaptor_p, cat)
+    out = _seq(FM.dcb_apply, prior_list, h)
+    c = out.shape[-1] // 2
+    return out[..., :c], out[..., c:]
+
+
+# ---------------------------------------------------------------------------
+# jit stage functions
+# ---------------------------------------------------------------------------
+
+def _stage_mv_enc(p, x, ref_frame, ref_mv_feature, q_index):
+    q = get_curr_q(p["mv_y_q_enc"], q_index).astype(x.dtype)
+    est_mv = FM.spynet_apply(p["optic_flow"], x, ref_frame)
+    mv_y = mv_encoder(p, est_mv, ref_mv_feature, q)
+    mv_z = hyper_enc_apply(p["mv_hyper_enc"], C.pad_for_y(mv_y))
+    mv_z_hat, mv_z_int8 = F.round_and_to_int8(mv_z)
+    return mv_y, mv_z_hat.astype(x.dtype), mv_z_int8
+
+
+def _stage_mv_prior(p, mv_z_hat, ref_mv_y, y_h, y_w):
+    mv_params = _seq(FM.res_block_upsample_apply, p["mv_hyper_dec"][:2],
+                     mv_z_hat)
+    mv_params = FM.dcb4_apply(p["mv_hyper_dec"][2], mv_params)
+    mv_params = mv_params[:, :y_h, :y_w, :]
+    if ref_mv_y is None:
+        mv_params = FM.dcb_apply(p["mv_fusion_adaptor_0"], mv_params)
+    else:
+        mv_params = FM.dcb_apply(
+            p["mv_fusion_adaptor_1"],
+            jnp.concatenate((mv_params, ref_mv_y), axis=-1))
+    return _seq(FM.dcb_apply, p["mv_fusion"], mv_params)
+
+
+def _stage_mv_dec(p, mv_y_hat, q_index):
+    q = get_curr_q(p["mv_y_q_dec"], q_index).astype(mv_y_hat.dtype)
+    return mv_decoder(p, mv_y_hat, q)
+
+
+def _stage_motion_comp(p, mv_hat, ref_frame, ref_feature, fa_idx):
+    if ref_feature is None:
+        feature = conv_apply(p["feature_adaptor_I"], ref_frame, padding=1)
+    else:
+        feature = conv_apply(p["feature_adaptor"][fa_idx], ref_feature)
+    f1, f2, f3 = feature_extractor(p, feature)
+    warpframe = flow_warp(ref_frame, mv_hat)
+    mv2 = bilinear_resize_2x(mv_hat, up=False) / 2
+    mv3 = bilinear_resize_2x(mv2, up=False) / 2
+    c1_init = flow_warp(f1, mv_hat)
+    aux = jnp.concatenate((c1_init, warpframe, mv_hat), axis=-1)
+    c1 = offset_diversity(p, f1, aux, mv_hat)
+    c2 = flow_warp(f2, mv2)
+    c3 = flow_warp(f3, mv3)
+    c1, c2, c3 = context_fusion(p, c1, c2, c3)
+    return c1, c2, c3, warpframe
+
+
+def _stage_ctx_enc(p, x, c1, c2, c3, q_index):
+    q = get_curr_q(p["y_q_enc"], q_index).astype(x.dtype)
+    y = contextual_encoder(p, x, c1, c2, c3, q)
+    z = hyper_enc_apply(p["hyper_enc"], C.pad_for_y(y))
+    z_hat, z_int8 = F.round_and_to_int8(z)
+    return y, z_hat.astype(x.dtype), z_int8
+
+
+def _stage_ctx_prior(p, z_hat, c3, ref_y, y_h, y_w):
+    hier = _seq(FM.res_block_upsample_apply, p["hyper_dec"][:2], z_hat)
+    hier = FM.dcb4_apply(p["hyper_dec"][2], hier)
+    hier = hier[:, :y_h, :y_w, :]
+    tp = p["temporal_prior"]
+    temporal = FM.lrelu(conv_apply(tp["c1"], c3, stride=2, padding=1), 0.1)
+    temporal = conv_apply(tp["c2"], temporal, stride=2, padding=1)
+    if ref_y is None:
+        params = FM.dcb_apply(p["y_fusion_adaptor_0"],
+                              jnp.concatenate((temporal, hier), axis=-1))
+    else:
+        params = FM.dcb_apply(
+            p["y_fusion_adaptor_1"],
+            jnp.concatenate((temporal, hier, ref_y), axis=-1))
+    return _seq(FM.dcb_apply, p["y_fusion"], params)
+
+
+def _stage_recon(p, y_hat, c1, c2, c3, q_index):
+    q = get_curr_q(p["y_q_dec"], q_index).astype(y_hat.dtype)
+    res = contextual_decoder(p, y_hat, c2, c3, q)
+    feature, x_hat = recon_generation(p, res, c1)
+    return x_hat, feature
+
+
+def _stage_mv_spatial(p, k, y_hat_so_far, common_params):
+    return _spatial_pass(p[f"mv_sp_adaptor_{k}"], p["mv_spatial_prior"],
+                         y_hat_so_far, common_params)
+
+
+def _stage_y_spatial(p, k, y_hat_so_far, common_params):
+    return _spatial_pass(p[f"y_sp_adaptor_{k}"], p["y_spatial_prior"],
+                         y_hat_so_far, common_params)
+
+
+# ---------------------------------------------------------------------------
+# host orchestrator
+# ---------------------------------------------------------------------------
+
+class DMCFM:
+    """DCVC-FM codec.  compress/decompress exchange explicit dpb dicts
+    with keys ref_frame, ref_feature, ref_mv_feature, ref_y, ref_mv_y
+    (reference video_model.py:441-452)."""
+
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+        self.params = None
+        self.entropy_coder = None
+        self.bit_estimator_z = BitEstimator(1, G_CH_Z, support=50)
+        self.bit_estimator_z_mv = BitEstimator(1, CH_MV, support=50)
+        self.gaussian_encoder = GaussianEncoder(
+            distribution="laplace", scale_min=0.01, scale_max=64.0,
+            scale_levels=256, support=50)
+        self._cfg = None
+
+        self._j_mv_enc = jax.jit(_stage_mv_enc)
+        self._j_mv_enc_i = jax.jit(
+            lambda p, x, rf, qi: _stage_mv_enc(p, x, rf, None, qi))
+        self._j_mv_prior = jax.jit(_stage_mv_prior,
+                                   static_argnums=(3, 4))
+        self._j_mv_prior_i = jax.jit(
+            lambda p, z, yh, yw: _stage_mv_prior(p, z, None, yh, yw),
+            static_argnums=(2, 3))
+        self._j_mv_dec = jax.jit(_stage_mv_dec)
+        self._j_motion_comp = jax.jit(_stage_motion_comp,
+                                      static_argnums=(4,))
+        self._j_motion_comp_i = jax.jit(
+            lambda p, mv, rf, fa: _stage_motion_comp(p, mv, rf, None, fa),
+            static_argnums=(3,))
+        self._j_ctx_enc = jax.jit(_stage_ctx_enc)
+        self._j_ctx_prior = jax.jit(_stage_ctx_prior,
+                                    static_argnums=(4, 5))
+        self._j_ctx_prior_i = jax.jit(
+            lambda p, z, c3, yh, yw: _stage_ctx_prior(p, z, c3, None,
+                                                      yh, yw),
+            static_argnums=(3, 4))
+        self._j_recon = jax.jit(_stage_recon)
+        self._j_mv_spatial = jax.jit(_stage_mv_spatial,
+                                     static_argnums=(1,))
+        self._j_y_spatial = jax.jit(_stage_y_spatial, static_argnums=(1,))
+        self._j_fold_index = jax.jit(_fold_index_4x, static_argnums=(1, 2))
+        self._j_enc_mask = jax.jit(_enc_mask_4x, static_argnums=(3,))
+        self._j_dec_restore = jax.jit(_dec_restore_4x, static_argnums=(2,))
+
+    @staticmethod
+    def get_qp_num():
+        return QP_NUM
+
+    def init_params(self, seed=0):
+        self.params = dmc_fm_init(jax.random.PRNGKey(seed))
+        # keep anchors apart so log-interp is well-defined with random init
+        self.params["mv_y_q_enc"] = jnp.array([0.5, 2.0])
+        self.params["mv_y_q_dec"] = jnp.array([0.5, 2.0])
+        self.params["y_q_enc"] = jnp.array([0.5, 2.0])
+        self.params["y_q_dec"] = jnp.array([0.5, 2.0])
+        return self.params
+
+    def load_params(self, params):
+        self.params = params
+
+    def update(self, force=False):
+        self.entropy_coder = EntropyCoder()
+        self.gaussian_encoder.update(self.entropy_coder)
+        self.bit_estimator_z.update(self.params["bit_estimator_z"],
+                                    self.entropy_coder)
+        self.bit_estimator_z_mv.update(self.params["bit_estimator_z_mv"],
+                                       self.entropy_coder)
+        self._cfg = (self.gaussian_encoder.SCALE_MIN,
+                     self.gaussian_encoder.SCALE_MAX,
+                     float(np.log(self.gaussian_encoder.SCALE_MIN)),
+                     self.gaussian_encoder.log_step_recip)
+
+    def set_use_two_entropy_coders(self, b):
+        self.entropy_coder.set_use_two_entropy_coders(b)
+
+    # -- four-part prior drivers ---------------------------------------------
+
+    def _compress_4x(self, y, params_prior, spatial_fn):
+        y, q_dec, scales, means = C.separate_prior_video_encoding(
+            params_prior, y)
+        packed, y_hat_so_far = [], None
+        for k in range(4):
+            if k > 0:
+                scales, means = spatial_fn(k, y_hat_so_far, params_prior)
+            idx = self._j_fold_index(scales, k, self._cfg)
+            y_q_f, y_hat_k = self._j_enc_mask(y, scales, means, k)
+            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
+            pk = (np.asarray(y_q_f, np.int16) << 8) | \
+                np.asarray(idx).astype(np.int16)
+            packed.append(pk.reshape(-1))
+        return packed, y_hat_so_far * q_dec
+
+    def _decompress_4x(self, params_prior, spatial_fn):
+        q_dec, scales, means = C.separate_prior_video_decoding(params_prior)
+        y_hat_so_far = None
+        for k in range(4):
+            if k > 0:
+                scales, means = spatial_fn(k, y_hat_so_far, params_prior)
+            idx = self._j_fold_index(scales, k, self._cfg)
+            self.gaussian_encoder.decode_y(np.asarray(idx))
+            y_q_r = self.gaussian_encoder.get_y(idx.shape)
+            y_hat_k = self._j_dec_restore(jnp.asarray(y_q_r, self.dtype),
+                                          means, k)
+            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
+        return y_hat_so_far * q_dec
+
+    # -- compress / decompress -------------------------------------------------
+
+    def compress(self, x, dpb, q_index, fa_idx):
+        p = self.params
+        x = jnp.asarray(x, self.dtype)
+        qi = jnp.int32(q_index)
+
+        if dpb["ref_mv_feature"] is None:
+            mv_y, mv_z_hat, mv_z_int8 = self._j_mv_enc_i(
+                p, x, dpb["ref_frame"], qi)
+        else:
+            mv_y, mv_z_hat, mv_z_int8 = self._j_mv_enc(
+                p, x, dpb["ref_frame"], dpb["ref_mv_feature"], qi)
+        myh, myw = mv_y.shape[1], mv_y.shape[2]
+        if dpb["ref_mv_y"] is None:
+            mv_params = self._j_mv_prior_i(p, mv_z_hat, myh, myw)
+        else:
+            mv_params = self._j_mv_prior(p, mv_z_hat, dpb["ref_mv_y"],
+                                         myh, myw)
+        mv_packed, mv_y_hat = self._compress_4x(
+            mv_y, mv_params,
+            lambda k, so_far, prm: self._j_mv_spatial(p, k, so_far, prm))
+
+        mv_hat, mv_feature = self._j_mv_dec(p, mv_y_hat, qi)
+        if dpb["ref_feature"] is None:
+            c1, c2, c3, _ = self._j_motion_comp_i(p, mv_hat,
+                                                  dpb["ref_frame"], fa_idx)
+        else:
+            c1, c2, c3, _ = self._j_motion_comp(p, mv_hat, dpb["ref_frame"],
+                                                dpb["ref_feature"], fa_idx)
+
+        y, z_hat, z_int8 = self._j_ctx_enc(p, x, c1, c2, c3, qi)
+        yh, yw = y.shape[1], y.shape[2]
+        if dpb["ref_y"] is None:
+            params = self._j_ctx_prior_i(p, z_hat, c3, yh, yw)
+        else:
+            params = self._j_ctx_prior(p, z_hat, c3, dpb["ref_y"], yh, yw)
+        y_packed, y_hat = self._compress_4x(
+            y, params,
+            lambda k, so_far, prm: self._j_y_spatial(p, k, so_far, prm))
+
+        self.entropy_coder.reset()
+        self.bit_estimator_z_mv.encode_z(
+            np.asarray(mv_z_int8).reshape(-1), 0)
+        self.bit_estimator_z.encode_z(np.asarray(z_int8).reshape(-1), 0)
+        for pk in mv_packed:
+            self.gaussian_encoder.encode_y_packed(pk)
+        for pk in y_packed:
+            self.gaussian_encoder.encode_y_packed(pk)
+        self.entropy_coder.flush()
+        bit_stream = self.entropy_coder.get_encoded_stream()
+
+        x_hat, feature = self._j_recon(p, y_hat, c1, c2, c3, qi)
+        return {
+            "dpb": {"ref_frame": x_hat, "ref_feature": feature,
+                    "ref_mv_feature": mv_feature, "ref_y": y_hat,
+                    "ref_mv_y": mv_y_hat},
+            "bit_stream": bit_stream,
+        }
+
+    def decompress(self, bit_stream, dpb, sps):
+        p = self.params
+        qi = jnp.int32(sps["qp"])
+        fa_idx = sps["fa_idx"]
+
+        if bit_stream is not None:
+            self.entropy_coder.set_stream(bit_stream)
+        z_size = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"], 16)
+        self.bit_estimator_z_mv.decode_z(z_size, 0)
+        mv_z_np = self.bit_estimator_z_mv.get_z(z_size)
+        self.bit_estimator_z.decode_z(z_size, 0)
+        z_np = self.bit_estimator_z.get_z(z_size)
+
+        mv_z_hat = jnp.asarray(mv_z_np, self.dtype)
+        z_hat = jnp.asarray(z_np, self.dtype)
+
+        if dpb["ref_mv_y"] is None:
+            mv_params = self._j_mv_prior_i(p, mv_z_hat, y_h, y_w)
+        else:
+            mv_params = self._j_mv_prior(p, mv_z_hat, dpb["ref_mv_y"],
+                                         y_h, y_w)
+        mv_y_hat = self._decompress_4x(
+            mv_params,
+            lambda k, so_far, prm: self._j_mv_spatial(p, k, so_far, prm))
+
+        mv_hat, mv_feature = self._j_mv_dec(p, mv_y_hat, qi)
+        if dpb["ref_feature"] is None:
+            c1, c2, c3, _ = self._j_motion_comp_i(p, mv_hat,
+                                                  dpb["ref_frame"], fa_idx)
+        else:
+            c1, c2, c3, _ = self._j_motion_comp(p, mv_hat, dpb["ref_frame"],
+                                                dpb["ref_feature"], fa_idx)
+
+        if dpb["ref_y"] is None:
+            params = self._j_ctx_prior_i(p, z_hat, c3, y_h, y_w)
+        else:
+            params = self._j_ctx_prior(p, z_hat, c3, dpb["ref_y"], y_h, y_w)
+        y_hat = self._decompress_4x(
+            params,
+            lambda k, so_far, prm: self._j_y_spatial(p, k, so_far, prm))
+
+        x_hat, feature = self._j_recon(p, y_hat, c1, c2, c3, qi)
+        return {
+            "dpb": {"ref_frame": x_hat, "ref_feature": feature,
+                    "ref_mv_feature": mv_feature, "ref_y": y_hat,
+                    "ref_mv_y": mv_y_hat},
+        }

@@ -1,0 +1,56 @@
+"""DCVC-HEM codec + IntraNoAR roundtrips."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from opendcvc_tpu.models.dmc_hem import DMCHEM
+from opendcvc_tpu.models.intra_no_ar import IntraNoAR
+
+
+def test_intra_no_ar_roundtrip():
+    m = IntraNoAR(N=192)
+    m.init_params(seed=0)
+    m.update()
+    h, w = 64, 64
+    rng = np.random.default_rng(0)
+    x = rng.random((1, h, w, 3), dtype=np.float32)
+    enc = m.compress(jnp.asarray(x), 1.0)
+    assert len(enc["bit_stream"]) > 0
+    dec = m.decompress(enc["bit_stream"], h, w, 1.0)
+    np.testing.assert_array_equal(np.asarray(enc["x_hat"]),
+                                  np.asarray(dec["x_hat"]))
+
+
+def test_hem_gop_roundtrip():
+    net = DMCHEM()
+    net.init_params(seed=1)
+    net.update()
+    h, w = 64, 64
+    rng = np.random.default_rng(2)
+    base = rng.random((1, h, w, 3), dtype=np.float32)
+    frames = [jnp.asarray(np.clip(np.roll(base, 2 * t, axis=2)
+                                  + rng.normal(0, 0.02, base.shape)
+                                  .astype(np.float32), 0, 1))
+              for t in range(3)]
+
+    dpb_e = {"ref_frame": frames[0], "ref_feature": None,
+             "ref_y": None, "ref_mv_y": None}
+    streams = []
+    for t in (1, 2):
+        out = net.compress(frames[t], dpb_e, mv_y_q_scale=1.0,
+                           y_q_scale=1.0)
+        dpb_e = out["dpb"]
+        streams.append(out["bit_stream"])
+
+    dec = DMCHEM()
+    dec.load_params(net.params)
+    dec.update()
+    dpb_d = {"ref_frame": frames[0], "ref_feature": None,
+             "ref_y": None, "ref_mv_y": None}
+    for stream in streams:
+        out = dec.decompress(dpb_d, stream, h, w, 1.0, 1.0)
+        dpb_d = out["dpb"]
+
+    for key in ("ref_frame", "ref_feature", "ref_y", "ref_mv_y"):
+        np.testing.assert_array_equal(np.asarray(dpb_e[key]),
+                                      np.asarray(dpb_d[key]))
