@@ -186,8 +186,10 @@ def _normal_cdf(x):
 
 
 def _laplace_cdf(x):
-    """CDF of Laplace(0, b=1) evaluated at x (x pre-divided by scale)."""
-    return np.where(x < 0, 0.5 * np.exp(x), 1.0 - 0.5 * np.exp(-x))
+    """CDF of Laplace(0, b=1) evaluated at x (x pre-divided by scale).
+    Both where-branches are evaluated, so clamp the exponents."""
+    return np.where(x < 0, 0.5 * np.exp(np.minimum(x, 0.0)),
+                    1.0 - 0.5 * np.exp(np.minimum(-x, 0.0)))
 
 
 class GaussianEncoder:
