@@ -44,6 +44,19 @@ def conv_init(key, in_ch, out_ch, ksize=1, groups=1):
     return {"w": w, "b": b}
 
 
+def conv_transpose2x_apply(p, x):
+    """Transpose conv matching torch ConvTranspose2d(k=3, s=2, p=1,
+    output_padding=1): exact 2x upsample.  Implemented as an input-dilated
+    conv; the kernel orientation is a free convention since weights are
+    trained in this framework."""
+    w = p["w"].astype(x.dtype)
+    out = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=_DIMNUMS,
+        precision=lax.Precision.HIGHEST)
+    return out + p["b"].astype(x.dtype)
+
+
 def conv_apply(p, x, stride=1, padding=0, groups=1):
     """2D conv, NHWC, explicit symmetric padding (torch semantics)."""
     pad = ((padding, padding), (padding, padding))
