@@ -44,14 +44,18 @@ def conv_init(key, in_ch, out_ch, ksize=1, groups=1):
     return {"w": w, "b": b}
 
 
-def conv_transpose2x_apply(p, x):
-    """Transpose conv matching torch ConvTranspose2d(k=3, s=2, p=1,
+def conv_transpose2x_apply(p, x, torch_padding=None):
+    """Transpose conv matching torch ConvTranspose2d(k, s=2, p,
     output_padding=1): exact 2x upsample.  Implemented as an input-dilated
-    conv; the kernel orientation is a free convention since weights are
-    trained in this framework."""
+    conv with pads (k-1-p, k-p); the kernel orientation is a free
+    convention since weights are trained in this framework."""
     w = p["w"].astype(x.dtype)
+    k = w.shape[0]
+    tp = torch_padding if torch_padding is not None else (k - 1) // 2
+    lo = k - 1 - tp
+    hi = k - tp  # = k - 1 - tp + output_padding(1)
     out = lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+        x, w, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
         lhs_dilation=(2, 2), dimension_numbers=_DIMNUMS,
         precision=lax.Precision.HIGHEST)
     return out + p["b"].astype(x.dtype)

@@ -30,7 +30,7 @@ CH_M = 96
 
 
 def dmc_tcm_init(key):
-    ks = iter(jax.random.split(key, 80))
+    ks = iter(jax.random.split(key, 128))
     p = {}
     p["optic_flow"] = spynet_init(next(ks))
 

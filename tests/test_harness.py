@@ -1,0 +1,70 @@
+"""End-to-end evaluation-harness test: synthetic PNG sequence through the
+full CLI path (encode -> NAL bitstream file -> decode -> metrics -> JSON),
+mirroring the reference's RD-evaluation-as-test strategy."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    seq_dir = tmp_path / "data" / "seqA"
+    seq_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    for i in range(3):
+        img = np.roll(base, i * 2, axis=1)
+        Image.fromarray(img).save(seq_dir / f"im{i + 1}.png")
+    config = {
+        "root_path": str(tmp_path),
+        "test_classes": {
+            "tiny": {
+                "test": 1,
+                "base_path": "data",
+                "src_type": "png",
+                "sequences": {
+                    "seqA": {"width": 64, "height": 48, "frames": 3,
+                             "intra_period": -1},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    with open(cfg_path, "w") as f:
+        json.dump(config, f)
+    return str(cfg_path), tmp_path
+
+
+def test_harness_end_to_end(tiny_dataset, tmp_path):
+    cfg_path, root = tiny_dataset
+    out_json = str(tmp_path / "out.json")
+    stream_path = str(tmp_path / "bins")
+
+    from opendcvc_tpu.eval.harness import main
+    main([
+        "--test_config", cfg_path,
+        "--output_path", out_json,
+        "--rate_num", "2",
+        "--qp_i", "10", "50",
+        "--qp_p", "10", "50",
+        "--stream_path", stream_path,
+        "--reset_interval", "2",
+        "--seed", "0",
+    ])
+
+    with open(out_json) as f:
+        results = json.load(f)
+    assert "tiny" in results and "seqA" in results["tiny"]
+    for rate_key in ("000", "001"):
+        r = results["tiny"]["seqA"][rate_key]
+        assert r["i_frame_num"] == 1
+        assert r["p_frame_num"] == 2
+        assert r["ave_all_frame_bpp"] > 0
+        assert np.isfinite(r["ave_all_frame_psnr"])
+    # bitstream files were written and are non-trivial
+    bins = os.listdir(os.path.join(stream_path, "tiny"))
+    assert any(b.endswith(".bin") for b in bins)
