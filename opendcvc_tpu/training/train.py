@@ -101,16 +101,32 @@ def make_optimizer(base_lr=1e-4, schedule="constant", total_steps=1_000_000,
 # train step (data-parallel over a Mesh; XLA reduces grads over ICI)
 # ---------------------------------------------------------------------------
 
-def make_train_step(loss_fn, tx, mesh=None, donate=True):
+def make_train_step(loss_fn, tx, mesh=None, donate=True,
+                    compute_dtype=None):
     """Returns jitted step(params, opt_state, batch, qp, rng).
 
     With a mesh, the batch is sharded over the 'data' axis and params are
     replicated; jit's global-view SPMD makes XLA insert the gradient
     all-reduce (the NCCL-DDP equivalent over ICI).
+
+    compute_dtype=jnp.bfloat16 gives the AMP-equivalent policy (the
+    reference uses torch.cuda.amp, train_*_ddp_amp.py:10): parameters
+    and optimizer state stay float32, the forward/backward runs in bf16
+    (the cast sits inside the grad so master weights get full-precision
+    updates).
     """
     def step(params, opt_state, batch, qp, rng):
+        if compute_dtype is not None:
+            def loss_cast(p, b, q, r):
+                p16 = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
+                return loss_fn(p16, b.astype(compute_dtype), q, r)
+            grad_target = loss_cast
+        else:
+            grad_target = loss_fn
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, qp, rng)
+            grad_target, has_aux=True)(params, batch, qp, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
