@@ -9,11 +9,13 @@ module instead).
 """
 
 import argparse
+import functools
 import io
 import json
 import os
 import time
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -69,6 +71,45 @@ def np_image_to_tensor(img):
     return x.transpose(1, 2, 0)[None]
 
 
+# jitted per-(shape/pad) IO transforms: every eager jnp op pays a large
+# dispatch cost through the device tunnel, so color conversion, padding
+# and reconstruction postprocessing are single compiled calls.
+
+@functools.lru_cache(maxsize=None)
+def _prep_png_fn(pb, pr):
+    @jax.jit
+    def f(rgb):
+        return replicate_pad(rgb2ycbcr(rgb), pb, pr)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_yuv_fn(pb, pr):
+    @jax.jit
+    def f(yuv):
+        return replicate_pad(yuv, pb, pr)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _post_png_fn(h, w):
+    @jax.jit
+    def f(x_hat):
+        rgb = ycbcr2rgb(x_hat[:, :h, :w, :])
+        return jnp.clip(rgb * 255.0, 0.0, 255.0)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _post_yuv_fn(h, w):
+    @jax.jit
+    def f(x_hat):
+        y, uv = yuv_444_to_420(x_hat[:, :h, :w, :])
+        return (jnp.clip(y * 255.0, 0.0, 255.0),
+                jnp.clip(uv * 255.0, 0.0, 255.0))
+    return f
+
+
 def get_src_reader(args):
     if args['src_type'] == 'png':
         return PNGReader(args['src_path'], args['src_width'],
@@ -79,24 +120,27 @@ def get_src_reader(args):
     raise ValueError(args['src_type'])
 
 
-def get_src_frame(args, src_reader):
+def get_src_frame(args, src_reader, padding=(0, 0)):
+    """Returns the padded codec input plus host-side originals for
+    metrics."""
+    pb, pr = padding
     if args['src_type'] == 'yuv420':
         y, uv = src_reader.read_one_frame()
         yuv = ycbcr420_to_444_np(y.astype(np.float32) / 255.0,
                                  uv.astype(np.float32) / 255.0)
-        x = jnp.asarray(yuv.transpose(1, 2, 0)[None])
+        x = _prep_yuv_fn(pb, pr)(jnp.asarray(yuv.transpose(1, 2, 0)[None]))
         return x, y[0], uv[0], uv[1], None
     rgb = src_reader.read_one_frame()
-    x = jnp.asarray(np_image_to_tensor(rgb))
-    x = rgb2ycbcr(x)
+    x = _prep_png_fn(pb, pr)(jnp.asarray(np_image_to_tensor(rgb)))
     return x, None, None, None, rgb
 
 
 def get_distortion(args, x_hat, y, u, v, rgb):
+    h, w = args['src_height'], args['src_width']
     if args['src_type'] == 'yuv420':
-        y_rec, uv_rec = yuv_444_to_420(x_hat)
-        y_rec = np.clip(np.asarray(y_rec) * 255, 0, 255)[0, :, :, 0]
-        uv_rec = np.clip(np.asarray(uv_rec) * 255, 0, 255)[0]
+        y_rec, uv_rec = _post_yuv_fn(h, w)(x_hat)
+        y_rec = np.asarray(y_rec)[0, :, :, 0]
+        uv_rec = np.asarray(uv_rec)[0]
         u_rec, v_rec = uv_rec[:, :, 0], uv_rec[:, :, 1]
         psnr_y = calc_psnr(y, y_rec)
         psnr_u = calc_psnr(u, u_rec)
@@ -110,8 +154,7 @@ def get_distortion(args, x_hat, y, u, v, rgb):
             ssim_y = ssim_u = ssim_v = 0.0
         ssim = (6 * ssim_y + ssim_u + ssim_v) / 8
         return [psnr, psnr_y, psnr_u, psnr_v], [ssim, ssim_y, ssim_u, ssim_v]
-    rgb_rec = ycbcr2rgb(x_hat)
-    rgb_rec = np.clip(np.asarray(rgb_rec) * 255, 0, 255)[0].transpose(2, 0, 1)
+    rgb_rec = np.asarray(_post_png_fn(h, w)(x_hat))[0].transpose(2, 0, 1)
     psnr = calc_psnr(rgb, rgb_rec)
     msssim = calc_msssim_rgb(rgb, rgb_rec) if args['calc_ssim'] else 0.0
     return [psnr], [msssim]
@@ -154,10 +197,10 @@ def run_one_point_with_stream(p_frame_net, i_frame_net, args):
 
     last_qp = 0
     for frame_idx in range(frame_num):
-        x, y, u, v, rgb = get_src_frame(args, src_reader)
-        x.block_until_ready()
+        x_padded, y, u, v, rgb = get_src_frame(args, src_reader,
+                                               (padding_b, padding_r))
+        x_padded.block_until_ready()
         frame_start = time.time()
-        x_padded = replicate_pad(x, padding_b, padding_r)
 
         is_i_frame = (frame_idx == 0
                       or (intra_period > 0 and frame_idx % intra_period == 0))
@@ -222,7 +265,7 @@ def run_one_point_with_stream(p_frame_net, i_frame_net, args):
         p_frame_net.set_curr_poc(0)
     decoded_frame_number = 0
     while decoded_frame_number < frame_num:
-        x, y, u, v, rgb = get_src_frame(args, src_reader)
+        _, y, u, v, rgb = get_src_frame(args, src_reader)
         frame_start = time.time()
         header = read_header(input_buff)
         while header['nal_type'] == NalType.NAL_SPS:
@@ -242,7 +285,7 @@ def run_one_point_with_stream(p_frame_net, i_frame_net, args):
                 p_frame_net.reset_ref_feature()
             decoded = p_frame_net.decompress(bit_stream, sps, qp)
 
-        x_hat = decoded['x_hat'][:, :pic_height, :pic_width, :]
+        x_hat = decoded['x_hat']
         x_hat.block_until_ready()
         decoding_time.append(time.time() - frame_start)
 
@@ -256,16 +299,16 @@ def run_one_point_with_stream(p_frame_net, i_frame_net, args):
 
         if recon_writer is not None:
             if args['src_type'] == 'yuv420':
-                y_rec, uv_rec = yuv_444_to_420(x_hat)
-                y_rec = np.asarray(jnp.round(jnp.clip(y_rec * 255, 0, 255))
-                                   ).astype(np.uint8)[0, :, :, 0][None]
-                uv_rec = np.asarray(jnp.clip(uv_rec * 255, 0, 255)
-                                    ).astype(np.uint8)[0].transpose(2, 0, 1)
+                y_rec, uv_rec = _post_yuv_fn(pic_height, pic_width)(x_hat)
+                y_rec = np.round(np.asarray(y_rec)).astype(
+                    np.uint8)[0, :, :, 0][None]
+                uv_rec = np.asarray(uv_rec).astype(
+                    np.uint8)[0].transpose(2, 0, 1)
                 recon_writer.write_one_frame(y_rec, uv_rec)
             else:
-                rgb_rec = ycbcr2rgb(x_hat)
-                rgb_rec = np.asarray(jnp.round(jnp.clip(rgb_rec * 255, 0, 255))
-                                     ).astype(np.uint8)[0].transpose(2, 0, 1)
+                rgb_rec = _post_png_fn(pic_height, pic_width)(x_hat)
+                rgb_rec = np.round(np.asarray(rgb_rec)).astype(
+                    np.uint8)[0].transpose(2, 0, 1)
                 recon_writer.write_one_frame(rgb_rec)
         decoded_frame_number += 1
 

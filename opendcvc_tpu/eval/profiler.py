@@ -66,22 +66,18 @@ def profile_dmc(height=1080, width=1920, qp=21, iters=10, dtype=None,
     prior = net._j_prior(p, z_hat, ctx_t)
     results["hyper_dec+prior_fusion"] = _time_fn(net._j_prior, p, z_hat,
                                                  ctx_t, iters=iters)
-    from ..models import common as C
-    y2, q_dec, scales, means = C.separate_prior_video_encoding(prior, y)
-    idx0, _ = net._j_fold_index(scales, 0, None)
-    results["fold_index"] = _time_fn(
-        lambda s: net._j_fold_index(s, 0, None), scales, iters=iters)
-    y_q0, y_hat_0 = net._j_enc_mask(y2, scales, means, 0, None)
-    results["enc_mask_pass"] = _time_fn(
-        lambda *a: net._j_enc_mask(*a, 0, None), y2, scales, means,
-        iters=iters)
+    y_div, packed0, skip0, y_hat_0 = net._j_enc_pass0(y, prior, None)
+    results["enc_pass0(fused)"] = _time_fn(
+        lambda *a: net._j_enc_pass0(*a, None), y, prior, iters=iters)
     s1, m1 = net._j_spatial(p, y_hat_0, prior)
     results["spatial_prior"] = _time_fn(net._j_spatial, p, y_hat_0, prior,
                                         iters=iters)
-    y_hat = (y_hat_0 + y_hat_0) * q_dec
-    results["latent_decoder"] = _time_fn(net._j_feature, p, y_hat, ctx,
-                                         qp_dev, iters=iters)
-    feat_out = net._j_feature(p, y_hat, ctx, qp_dev)
+    results["enc_pass1(fused)"] = _time_fn(
+        lambda *a: net._j_enc_pass1(*a, None), y_div, s1, m1, iters=iters)
+    feat_out = net._j_feature_out(p, y_hat_0, y_hat_0, prior, ctx, qp_dev)
+    results["latent_decoder(feature_out)"] = _time_fn(
+        net._j_feature_out, p, y_hat_0, y_hat_0, prior, ctx, qp_dev,
+        iters=iters)
     results["recon_generation"] = _time_fn(net._j_recon_x, p, feat_out,
                                            qp_dev, iters=iters)
 

@@ -203,33 +203,95 @@ def _stage_spatial(p, y_hat_0, common_params):
     return out[..., :c], out[..., c:]
 
 
+_GE_IDX_CFG = (GaussianEncoder.SCALE_MIN, GaussianEncoder.SCALE_MAX,
+               float(np.log(GaussianEncoder.SCALE_MIN)),
+               (GaussianEncoder.SCALE_LEVELS - 1)
+               / (np.log(GaussianEncoder.SCALE_MAX)
+                  - np.log(GaussianEncoder.SCALE_MIN)))
+
+
+def _indexes_of(scales_r, force_zero_thres):
+    smin, smax, lsm, recip = _GE_IDX_CFG
+    return F.build_index_dec(scales_r, smin, smax, lsm, recip,
+                             force_zero_thres)
+
+
 def _stage_fold_index_2x(scales, k, force_zero_thres):
     """Shared: fold active-half scales, build CDF indexes."""
     _, h, w, c = scales.shape
     masks = F.checkerboard_masks_2x(h, w, c, scales.dtype)
     scales_r = F.fold_halves(scales * masks[k])
-    ge = GaussianEncoder
-    indexes, skip = F.build_index_dec(
-        scales_r, ge.SCALE_MIN, ge.SCALE_MAX,
-        float(np.log(ge.SCALE_MIN)),
-        (ge.SCALE_LEVELS - 1) / (np.log(ge.SCALE_MAX) - np.log(ge.SCALE_MIN)),
-        force_zero_thres)
-    return indexes, skip
+    return _indexes_of(scales_r, force_zero_thres)
 
 
-def _stage_enc_mask_2x(y, scales, means, k, force_zero_thres):
-    """Encoder-only: quantize pass k, folded int16 symbols + y_hat part."""
+def _stage_enc_pass0(y, params_prior, force_zero_thres):
+    """Encoder-only pass 0, fully fused: prior separation, masked
+    quantization, symbol packing (int16 = sym<<8 | idx)."""
+    y, q_dec, scales, means = C.separate_prior_video_encoding(
+        params_prior, y)
     _, h, w, c = y.shape
     masks = F.checkerboard_masks_2x(h, w, c, y.dtype)
-    _, y_q, y_hat, _ = F.process_with_mask(y, scales, means, masks[k],
-                                           force_zero_thres)
-    return F.fold_halves(y_q).astype(jnp.int16), y_hat
+    _, y_q, y_hat_0, _ = F.process_with_mask(y, scales, means, masks[0],
+                                             force_zero_thres)
+    scales_r = F.fold_halves(scales * masks[0])
+    idx, skip = _indexes_of(scales_r, force_zero_thres)
+    packed = (F.fold_halves(y_q).astype(jnp.int16) << 8) \
+        + idx.astype(jnp.int16)
+    return y, packed, skip, y_hat_0
 
 
-def _stage_dec_restore_2x(y_q_r, means, k):
+def _stage_enc_pass1(y, scales, means, force_zero_thres):
+    """Encoder-only pass 1 (y already divided by q_dec in pass 0)."""
+    _, h, w, c = y.shape
+    masks = F.checkerboard_masks_2x(h, w, c, y.dtype)
+    _, y_q, y_hat_1, _ = F.process_with_mask(y, scales, means, masks[1],
+                                             force_zero_thres)
+    scales_r = F.fold_halves(scales * masks[1])
+    idx, skip = _indexes_of(scales_r, force_zero_thres)
+    packed = (F.fold_halves(y_q).astype(jnp.int16) << 8) \
+        + idx.astype(jnp.int16)
+    return packed, skip, y_hat_1
+
+
+def _stage_dec_index0(params_prior, force_zero_thres):
+    """Decoder-only: prior separation + pass-0 indexes (elementwise-only,
+    so bit-identical to the encoder's fused pass-0 index computation)."""
+    q_dec, scales, means = C.separate_prior_video_decoding(params_prior)
+    _, h, w, c = scales.shape
+    masks = F.checkerboard_masks_2x(h, w, c, scales.dtype)
+    scales_r = F.fold_halves(scales * masks[0])
+    idx, skip = _indexes_of(scales_r, force_zero_thres)
+    return idx, skip
+
+
+def _stage_dec_restore_2x(y_q_r, params_or_means, k, from_params):
+    """Decoder-only: scatter decoded symbols back through mask k.
+    from_params=True slices the means third out of the fused prior."""
+    if from_params:
+        c3 = params_or_means.shape[-1] // 3
+        means = params_or_means[..., 2 * c3:]
+    else:
+        means = params_or_means
     _, h, w, c = means.shape
     masks = F.checkerboard_masks_2x(h, w, c, means.dtype)
     return F.restore_y_2x(y_q_r, means, masks[k])
+
+
+def _stage_feature_out(p, y_hat_0, y_hat_1, params_prior, ctx, qp):
+    """Shared: dequantized latent -> next reference feature.  Both sides
+    evaluate this single compiled fn so the temporal chain can't drift."""
+    c3 = params_prior.shape[-1] // 3
+    q_dec = jnp.maximum(params_prior[..., :c3], 0.5)
+    y_hat = (y_hat_0 + y_hat_1) * q_dec
+    return _stage_feature(p, y_hat, ctx, qp)
+
+
+def _stage_pack_all(z_int8, packed0, packed1):
+    """Concatenate all symbol planes into ONE flat int16 buffer so a
+    frame needs a single device->host transfer (transfer round trips are
+    the top cost on tunneled/remote devices)."""
+    return jnp.concatenate([z_int8.reshape(-1).astype(jnp.int16),
+                            packed0.reshape(-1), packed1.reshape(-1)])
 
 
 def _stage_feature(p, y_hat, ctx, qp):
@@ -296,11 +358,16 @@ class DMC:
         self._j_spatial = jax.jit(_stage_spatial)
         self._j_fold_index = jax.jit(_stage_fold_index_2x,
                                      static_argnums=(1, 2))
-        self._j_enc_mask = jax.jit(_stage_enc_mask_2x, static_argnums=(3, 4))
+        self._j_enc_pass0 = jax.jit(_stage_enc_pass0, static_argnums=(2,))
+        self._j_enc_pass1 = jax.jit(_stage_enc_pass1, static_argnums=(3,))
+        self._j_dec_index0 = jax.jit(_stage_dec_index0,
+                                     static_argnums=(1,))
         self._j_dec_restore = jax.jit(_stage_dec_restore_2x,
-                                      static_argnums=(2,))
+                                      static_argnums=(2, 3))
         self._j_feature = jax.jit(_stage_feature)
+        self._j_feature_out = jax.jit(_stage_feature_out)
         self._j_recon_x = jax.jit(_stage_recon_x)
+        self._j_pack_all = jax.jit(_stage_pack_all)
 
     # -- setup ---------------------------------------------------------------
 
@@ -363,7 +430,7 @@ class DMC:
         so decoder and encoder re-anchor (video_model.py:293-297)."""
         if self.dpb[0].frame is None:
             self.dpb[0].frame = self._j_recon_x(
-                self.params, self.dpb[0].feature, jnp.int32(last_qp))
+                self.params, self.dpb[0].feature, np.int32(last_qp))
             self.reset_ref_feature()
 
     def shift_qp(self, qp, fa_idx):
@@ -371,10 +438,18 @@ class DMC:
 
     # -- compress ------------------------------------------------------------
 
-    def compress(self, x, qp):
+    def compress_async(self, x, qp):
+        """Device-side encode: dispatches all stages, starts the (single)
+        symbol transfer asynchronously, updates the DPB, and returns a
+        zero-argument callable that completes the host-side entropy coding
+        and returns the bit stream.  Callers can pipeline: submit frame
+        t+1's compute before finishing frame t's stream (the reference
+        hides coding behind compute with CUDA streams,
+        video_model.py:325-337 — here the transfer RTT hides behind the
+        next frame's dispatch instead)."""
         p = self.params
         fz = self.force_zero_thres
-        qp_dev = jnp.int32(qp)
+        qp_dev = np.int32(qp)
         x = jnp.asarray(x, dtype=self.dtype)
 
         feature = self.apply_feature_adaptor()
@@ -383,45 +458,58 @@ class DMC:
         y, z_hat, z_int8 = self._j_encode_y(p, x, ctx, qp_dev)
         params_prior = self._j_prior(p, z_hat, ctx_t)
 
-        y, q_dec, scales, means = C.separate_prior_video_encoding(
-            params_prior, y)
-
-        packed_planes, skip_planes = [], []
-        # pass 0
-        indexes0, skip0 = self._j_fold_index(scales, 0, fz)
-        y_q_f0, y_hat_0 = self._j_enc_mask(y, scales, means, 0, fz)
-        # pass 1 (conditioned on pass-0 reconstruction)
+        y_div, packed0, skip0, y_hat_0 = self._j_enc_pass0(y, params_prior,
+                                                           fz)
         scales1, means1 = self._j_spatial(p, y_hat_0, params_prior)
-        indexes1, skip1 = self._j_fold_index(scales1, 1, fz)
-        y_q_f1, y_hat_1 = self._j_enc_mask(y, scales1, means1, 1, fz)
+        packed1, skip1, y_hat_1 = self._j_enc_pass1(y_div, scales1, means1,
+                                                    fz)
+        feature_out = self._j_feature_out(p, y_hat_0, y_hat_1,
+                                          params_prior, ctx, qp_dev)
 
-        y_hat = F.add_and_multiply(y_hat_0, y_hat_1, q_dec)
-        feature_out = self._j_feature(p, y_hat, ctx, qp_dev)
-
-        for y_q_f, idx, skip in ((y_q_f0, indexes0, skip0),
-                                 (y_q_f1, indexes1, skip1)):
-            packed = (np.asarray(y_q_f, dtype=np.int16) << 8) | \
-                np.asarray(idx).astype(np.int16)
-            packed_planes.append(packed.reshape(-1))
-            skip_planes.append(None if skip is None
-                               else np.asarray(skip).reshape(-1))
-
-        self.entropy_coder.reset()
-        self.bit_estimator_z.encode_z(np.asarray(z_int8).reshape(-1), qp)
-        for packed, skip in zip(packed_planes, skip_planes):
-            self.gaussian_encoder.encode_y_packed(packed, skip)
-        self.entropy_coder.flush()
-        bit_stream = self.entropy_coder.get_encoded_stream()
+        n_z = int(np.prod(z_int8.shape))
+        n_y = int(np.prod(packed0.shape))
+        if fz is None:
+            flat = self._j_pack_all(z_int8, packed0, packed1)
+            try:
+                flat.copy_to_host_async()
+            except Exception:
+                pass
+            fetch = (flat,)
+        else:
+            fetch = (z_int8, packed0, packed1, skip0, skip1)
 
         self.add_ref_frame(feature_out, None)
-        return {"bit_stream": bit_stream}
+
+        def finish():
+            host = jax.device_get(list(fetch))
+            if fz is None:
+                buf = host[0]
+                z_np = buf[:n_z].astype(np.int8)
+                p0_np, p1_np = buf[n_z:n_z + n_y], buf[n_z + n_y:]
+                s0_np = s1_np = None
+            else:
+                z_np = host[0].reshape(-1)
+                p0_np, p1_np = host[1].reshape(-1), host[2].reshape(-1)
+                s0_np, s1_np = host[3].reshape(-1), host[4].reshape(-1)
+            self.entropy_coder.reset()
+            self.bit_estimator_z.encode_z(z_np.reshape(-1), qp)
+            self.gaussian_encoder.encode_y_packed(p0_np, s0_np)
+            self.gaussian_encoder.encode_y_packed(p1_np, s1_np)
+            self.entropy_coder.flush()
+            return self.entropy_coder.get_encoded_stream()
+
+        return finish
+
+    def compress(self, x, qp):
+        finish = self.compress_async(x, qp)
+        return {"bit_stream": finish()}
 
     # -- decompress ----------------------------------------------------------
 
     def decompress(self, bit_stream, sps, qp):
         p = self.params
         fz = self.force_zero_thres
-        qp_dev = jnp.int32(qp)
+        qp_dev = np.int32(qp)
 
         self.entropy_coder.set_use_two_entropy_coders(sps["ec_part"] == 1)
         self.entropy_coder.set_stream(bit_stream)
@@ -434,12 +522,11 @@ class DMC:
         feature = self.apply_feature_adaptor()
         x1, ctx_t = self._j_fe_part1(p, feature, qp_dev)
 
-        z_np = self.bit_estimator_z.get_z(z_size)
-        z_hat = jnp.asarray(z_np, dtype=self.dtype)
+        z_hat = jnp.asarray(self.bit_estimator_z.get_z(z_size),
+                            dtype=self.dtype)
         params_prior = self._j_prior(p, z_hat, ctx_t)
-        q_dec, scales, means = C.separate_prior_video_decoding(params_prior)
 
-        indexes0, skip0 = self._j_fold_index(scales, 0, fz)
+        indexes0, skip0 = self._j_dec_index0(params_prior, fz)
         skip0_np = None if skip0 is None else np.asarray(skip0)
         self.gaussian_encoder.decode_y(np.asarray(indexes0), skip0_np)
 
@@ -447,17 +534,17 @@ class DMC:
 
         y_q_r0 = self.gaussian_encoder.get_y(indexes0.shape, skip0_np)
         y_hat_0 = self._j_dec_restore(jnp.asarray(y_q_r0, self.dtype),
-                                      means, 0)
+                                      params_prior, 0, True)
         scales1, means1 = self._j_spatial(p, y_hat_0, params_prior)
         indexes1, skip1 = self._j_fold_index(scales1, 1, fz)
         skip1_np = None if skip1 is None else np.asarray(skip1)
         self.gaussian_encoder.decode_y(np.asarray(indexes1), skip1_np)
         y_q_r1 = self.gaussian_encoder.get_y(indexes1.shape, skip1_np)
         y_hat_1 = self._j_dec_restore(jnp.asarray(y_q_r1, self.dtype),
-                                      means1, 1)
+                                      means1, 1, False)
 
-        y_hat = F.add_and_multiply(y_hat_0, y_hat_1, q_dec)
-        feature_out = self._j_feature(p, y_hat, ctx, qp_dev)
+        feature_out = self._j_feature_out(p, y_hat_0, y_hat_1,
+                                          params_prior, ctx, qp_dev)
         x_hat = self._j_recon_x(p, feature_out, qp_dev)
 
         self.add_ref_frame(feature_out, x_hat)

@@ -515,9 +515,7 @@ class DMCFM:
         self._j_mv_spatial = jax.jit(_stage_mv_spatial,
                                      static_argnums=(1,))
         self._j_y_spatial = jax.jit(_stage_y_spatial, static_argnums=(1,))
-        self._j_fold_index = jax.jit(_fold_index_4x, static_argnums=(1, 2))
-        self._j_enc_mask = jax.jit(_enc_mask_4x, static_argnums=(3,))
-        self._j_dec_restore = jax.jit(_dec_restore_4x, static_argnums=(2,))
+        self._stages = None  # built in update() from the coder config
 
     @staticmethod
     def get_qp_num():
@@ -546,40 +544,41 @@ class DMCFM:
                      self.gaussian_encoder.SCALE_MAX,
                      float(np.log(self.gaussian_encoder.SCALE_MIN)),
                      self.gaussian_encoder.log_step_recip)
+        if self._stages is None:
+            from .prior_stages import make_pass_stages
+            self._stages = make_pass_stages(self._cfg, 4)
 
     def set_use_two_entropy_coders(self, b):
         self.entropy_coder.set_use_two_entropy_coders(b)
 
-    # -- four-part prior drivers ---------------------------------------------
+    # -- four-part prior drivers (fused eager-free stages) --------------------
 
     def _compress_4x(self, y, params_prior, spatial_fn):
-        y, q_dec, scales, means = C.separate_prior_video_encoding(
-            params_prior, y)
-        packed, y_hat_so_far = [], None
-        for k in range(4):
-            if k > 0:
-                scales, means = spatial_fn(k, y_hat_so_far, params_prior)
-            idx = self._j_fold_index(scales, k, self._cfg)
-            y_q_f, y_hat_k = self._j_enc_mask(y, scales, means, k)
-            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
-            pk = (np.asarray(y_q_f, np.int16) << 8) | \
-                np.asarray(idx).astype(np.int16)
-            packed.append(pk.reshape(-1))
-        return packed, y_hat_so_far * q_dec
+        st = self._stages
+        y_div, packed0, so_far = st["enc_pass0_video"](y, params_prior)
+        packed = [packed0]
+        for k in range(1, 4):
+            scales, means = spatial_fn(k, so_far, params_prior)
+            pk, so_far = st["enc_pass_k"](y_div, scales, means, so_far, k)
+            packed.append(pk)
+        y_hat = st["finalize_video"](so_far, params_prior)
+        return [np.asarray(pk).reshape(-1) for pk in packed], y_hat
 
     def _decompress_4x(self, params_prior, spatial_fn):
-        q_dec, scales, means = C.separate_prior_video_decoding(params_prior)
-        y_hat_so_far = None
-        for k in range(4):
-            if k > 0:
-                scales, means = spatial_fn(k, y_hat_so_far, params_prior)
-            idx = self._j_fold_index(scales, k, self._cfg)
+        st = self._stages
+        idx = st["dec_index0_video"](params_prior)
+        self.gaussian_encoder.decode_y(np.asarray(idx))
+        y_q_r = self.gaussian_encoder.get_y(idx.shape)
+        so_far = st["dec_restore0_video"](
+            jnp.asarray(y_q_r, self.dtype), params_prior)
+        for k in range(1, 4):
+            scales, means = spatial_fn(k, so_far, params_prior)
+            idx = st["dec_index_k"](scales, k)
             self.gaussian_encoder.decode_y(np.asarray(idx))
             y_q_r = self.gaussian_encoder.get_y(idx.shape)
-            y_hat_k = self._j_dec_restore(jnp.asarray(y_q_r, self.dtype),
-                                          means, k)
-            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
-        return y_hat_so_far * q_dec
+            so_far = st["dec_restore_acc"](
+                jnp.asarray(y_q_r, self.dtype), means, so_far, k)
+        return st["finalize_video"](so_far, params_prior)
 
     # -- compress / decompress -------------------------------------------------
 

@@ -169,37 +169,59 @@ def _stage_spatial(p, k, y_hat_so_far, reduced):
     return out[..., :c], out[..., c:]
 
 
+_GE_IDX_CFG = (GaussianEncoder.SCALE_MIN, GaussianEncoder.SCALE_MAX,
+               float(np.log(GaussianEncoder.SCALE_MIN)),
+               (GaussianEncoder.SCALE_LEVELS - 1)
+               / (np.log(GaussianEncoder.SCALE_MAX)
+                  - np.log(GaussianEncoder.SCALE_MIN)))
+
+
+def _indexes_of(scales_r, force_zero_thres):
+    smin, smax, lsm, recip = _GE_IDX_CFG
+    return F.build_index_dec(scales_r, smin, smax, lsm, recip,
+                             force_zero_thres)
+
+
 def _stage_fold_index(scales, k, force_zero_thres):
     """Shared enc/dec: fold the active-quarter scales and build CDF
     indexes; identical bits on both sides by construction."""
     _, h, w, c = scales.shape
     masks = F.checkerboard_masks_4x(h, w, c, scales.dtype)
     scales_r = F.fold_quarters(scales * masks[k])
-    ge = GaussianEncoder
-    indexes, skip = F.build_index_dec(
-        scales_r, ge.SCALE_MIN, ge.SCALE_MAX,
-        float(np.log(ge.SCALE_MIN)),
-        (ge.SCALE_LEVELS - 1) / (np.log(ge.SCALE_MAX) - np.log(ge.SCALE_MIN)),
-        force_zero_thres)
-    return indexes, skip
+    return _indexes_of(scales_r, force_zero_thres)
 
 
-def _stage_enc_mask(y, scales, means, k, force_zero_thres):
-    """Encoder-only: quantize pass k, return folded int16 symbols and the
-    running y_hat contribution."""
-    _, h, w, c = y.shape
-    masks = F.checkerboard_masks_4x(h, w, c, y.dtype)
-    _, y_q, y_hat, _ = F.process_with_mask(y, scales, means, masks[k],
+def _stage_enc_pass(y_s, scales, means, y_hat_so_far, k, force_zero_thres):
+    """Encoder-only pass k, fully fused: masked quantization, symbol
+    packing, running y_hat accumulation.  Pass 0 enters with
+    y_hat_so_far = None handled by the k==0 variant below."""
+    _, h, w, c = y_s.shape
+    masks = F.checkerboard_masks_4x(h, w, c, y_s.dtype)
+    _, y_q, y_hat_k, _ = F.process_with_mask(y_s, scales, means, masks[k],
+                                             force_zero_thres)
+    scales_r = F.fold_quarters(scales * masks[k])
+    idx, skip = _indexes_of(scales_r, force_zero_thres)
+    packed = (F.fold_quarters(y_q).astype(jnp.int16) << 8) \
+        + idx.astype(jnp.int16)
+    so_far = y_hat_k if y_hat_so_far is None else y_hat_so_far + y_hat_k
+    return packed, skip, so_far
+
+
+def _stage_enc_pass0(y, q_enc, scales, means, force_zero_thres):
+    """Encoder pass 0: also applies the spatial q_enc map to y."""
+    y_s = y * q_enc
+    packed, skip, so_far = _stage_enc_pass(y_s, scales, means, None, 0,
                                            force_zero_thres)
-    y_q_folded = F.fold_quarters(y_q).astype(jnp.int16)
-    return y_q_folded, y_hat
+    return y_s, packed, skip, so_far
 
 
-def _stage_dec_restore(y_q_r, means, k):
-    """Decoder-only: scatter decoded symbols back through mask k."""
+def _stage_dec_restore(y_q_r, means, y_hat_so_far, k):
+    """Decoder-only: scatter decoded symbols through mask k and
+    accumulate."""
     _, h, w, c = means.shape
     masks = F.checkerboard_masks_4x(h, w, c, means.dtype)
-    return F.restore_y_4x(y_q_r, means, masks[k])
+    y_hat_k = F.restore_y_4x(y_q_r, means, masks[k])
+    return y_hat_k if y_hat_so_far is None else y_hat_so_far + y_hat_k
 
 
 def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
@@ -230,9 +252,11 @@ class DMCI:
         self._j_spatial = jax.jit(_stage_spatial, static_argnums=(1,))
         self._j_fold_index = jax.jit(_stage_fold_index,
                                      static_argnums=(1, 2))
-        self._j_enc_mask = jax.jit(_stage_enc_mask, static_argnums=(3, 4))
+        self._j_enc_pass0 = jax.jit(_stage_enc_pass0,
+                                    static_argnums=(4,))
+        self._j_enc_pass = jax.jit(_stage_enc_pass, static_argnums=(4, 5))
         self._j_dec_restore = jax.jit(_stage_dec_restore,
-                                      static_argnums=(2,))
+                                      static_argnums=(3,))
         self._j_recon = jax.jit(_stage_recon)
 
     # -- setup --------------------------------------------------------------
@@ -280,7 +304,7 @@ class DMCI:
         bit_stream and x_hat."""
         p = self.params
         fz = self.force_zero_thres
-        qp_dev = jnp.int32(qp)
+        qp_dev = np.int32(qp)
         x = jnp.asarray(x, dtype=self.dtype)
 
         y, z_hat, z_int8 = self._j_enc_front(p, x, qp_dev)
@@ -288,30 +312,34 @@ class DMCI:
         q_enc, q_dec_prior, scales, means, reduced = self._j_prior(
             p, z_hat, y_h, y_w)
 
-        y = y * q_enc
+        packed_planes, skip_planes = [], []
+        y_s, packed, skip, so_far = self._j_enc_pass0(y, q_enc, scales,
+                                                      means, fz)
+        packed_planes.append(packed)
+        skip_planes.append(skip)
+        for k in range(1, 4):
+            scales, means = self._j_spatial(p, k, so_far, reduced)
+            packed, skip, so_far = self._j_enc_pass(y_s, scales, means,
+                                                    so_far, k, fz)
+            packed_planes.append(packed)
+            skip_planes.append(skip)
 
-        packed_planes = []
-        skip_planes = []
-        y_hat_so_far = None
-        for k in range(4):
-            if k > 0:
-                scales, means = self._j_spatial(p, k, y_hat_so_far, reduced)
-            indexes, skip = self._j_fold_index(scales, k, fz)
-            y_q_folded, y_hat_k = self._j_enc_mask(y, scales, means, k, fz)
-            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
-            packed = (np.asarray(y_q_folded, dtype=np.int16) << 8) | \
-                np.asarray(indexes).astype(np.int16)
-            packed_planes.append(packed.reshape(-1))
-            skip_planes.append(None if skip is None
-                               else np.asarray(skip).reshape(-1))
+        x_hat = self._j_recon(p, so_far, q_dec_prior, qp_dev)
 
-        x_hat = self._j_recon(p, y_hat_so_far, q_dec_prior, qp_dev)
+        fetch = [z_int8] + packed_planes
+        if fz is not None:
+            fetch += skip_planes
+        host = jax.device_get(fetch)
+        z_np = host[0]
+        packed_np = host[1:5]
+        skips_np = host[5:9] if fz is not None else [None] * 4
 
         self.entropy_coder.reset()
-        self.bit_estimator_z.encode_z(
-            np.asarray(z_int8).reshape(-1), qp)
-        for packed, skip in zip(packed_planes, skip_planes):
-            self.gaussian_encoder.encode_y_packed(packed, skip)
+        self.bit_estimator_z.encode_z(z_np.reshape(-1), qp)
+        for packed, skip in zip(packed_np, skips_np):
+            self.gaussian_encoder.encode_y_packed(
+                packed.reshape(-1),
+                None if skip is None else skip.reshape(-1))
         self.entropy_coder.flush()
         bit_stream = self.entropy_coder.get_encoded_stream()
 
@@ -322,7 +350,7 @@ class DMCI:
     def decompress(self, bit_stream, sps, qp):
         p = self.params
         fz = self.force_zero_thres
-        qp_dev = jnp.int32(qp)
+        qp_dev = np.int32(qp)
 
         self.entropy_coder.set_use_two_entropy_coders(sps["ec_part"] == 1)
         self.entropy_coder.set_stream(bit_stream)
@@ -344,9 +372,9 @@ class DMCI:
             self.gaussian_encoder.decode_y(np.asarray(indexes), skip_np)
             y_q_r = self.gaussian_encoder.get_y(
                 indexes.shape, skip_np, dtype=np.float32)
-            y_hat_k = self._j_dec_restore(
-                jnp.asarray(y_q_r, dtype=self.dtype), means, k)
-            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
+            y_hat_so_far = self._j_dec_restore(
+                jnp.asarray(y_q_r, dtype=self.dtype), means,
+                y_hat_so_far, k)
 
         x_hat = self._j_recon(p, y_hat_so_far, q_dec_prior, qp_dev)
         return {"x_hat": x_hat}
