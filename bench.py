@@ -70,20 +70,23 @@ def main():
         s = p_net.compress(frame(t), 21)
         assert len(s["bit_stream"]) > 0
 
-    # pipelined encode: frame t's symbol transfer + rANS overlap frame
-    # t+1's device compute (the throughput mode a production encoder runs)
+    # pipelined encode: frame t's symbol transfer + rANS overlap the next
+    # frames' device compute (the throughput mode a production encoder
+    # runs).  Depth >1 lets several transfers be in flight at once.
+    from collections import deque
+    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", 3))
     frames = [frame(t) for t in range(3, 3 + n_frames)]
     for f in frames:
         f.block_until_ready()
     total_bits = 0
-    pending = None
+    pending = deque()
     t0 = time.perf_counter()
     for x in frames:
-        finish = p_net.compress_async(x, 21)
-        if pending is not None:
-            total_bits += len(pending()) * 8
-        pending = finish
-    total_bits += len(pending()) * 8
+        pending.append(p_net.compress_async(x, 21))
+        if len(pending) > depth:
+            total_bits += len(pending.popleft()()) * 8
+    while pending:
+        total_bits += len(pending.popleft()()) * 8
     elapsed = time.perf_counter() - t0
 
     avg = elapsed / n_frames

@@ -1,0 +1,209 @@
+"""Device-side entropy coding: wide-interleaved rANS on the TPU.
+
+The classic pipeline ships ~2 bytes/symbol of packed symbols to the host
+and runs rANS there; on remote/tunneled devices the transfer dominates
+the frame time.  This module encodes ON the device instead, as L
+independent rANS lanes advanced in lockstep by a `lax.scan` (the VPU
+processes all lanes per step), so only the compressed bytes (plus per-
+lane lengths and final states) cross device->host.
+
+Format ("tpu-lane" v2, self-contained, NOT the reference byte format):
+  * symbols are coded against full-range 256-bin CDFs (no escape/bypass:
+    every bin has frequency >= 1, precision 16) derived from the same
+    probability models as the host tables;
+  * the symbol sequence is split contiguously into L lanes, padded to
+    lane length K with (symbol 0, cdf row 0);
+  * serialized stream: u32 N | u16 L | u16 K | per lane: u16 len |
+    u32 state | len data bytes (in decode order).
+
+A vectorized numpy decoder (all lanes in lockstep) provides the host
+decode path and the roundtrip tests; a native lane decoder can replace
+it later.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# full-range CDF construction (host, once per update)
+# ---------------------------------------------------------------------------
+
+def full_range_cdf_rows(cdfs, cdf_sizes, offsets):
+    """Convert escape-format quantized CDF rows into full-range 256-bin
+    rows (freq >= 1 everywhere, sum == 2^16).
+
+    cdfs: (n, max_len) int32 rows; cdf_sizes: (n,); offsets: (n,).
+    Returns (n, 257) int32 cumulative rows over symbols -128..127.
+    """
+    cdfs = np.asarray(cdfs, np.int64)
+    sizes = np.asarray(cdf_sizes, np.int64).reshape(-1)
+    offsets = np.asarray(offsets, np.int64).reshape(-1)
+    n = cdfs.shape[0]
+    out = np.zeros((n, 257), np.int64)
+    for i in range(n):
+        sz = int(sizes[i])
+        n_sym = sz - 2            # in-range symbols (last bin = escape)
+        off = int(offsets[i])     # symbol value of bin 0
+        freqs = np.ones(256, np.int64)
+        in_f = cdfs[i, 1:n_sym + 1] - cdfs[i, :n_sym]
+        lo = off + 128            # bin index of first in-range symbol
+        freqs[lo:lo + n_sym] = np.maximum(in_f, 1)
+        excess = int(freqs.sum()) - (1 << 16)
+        # absorb the excess in the largest bin (it is >> excess)
+        j = int(np.argmax(freqs))
+        assert freqs[j] - excess >= 1, "cannot normalize full-range cdf"
+        freqs[j] -= excess
+        out[i, 1:] = np.cumsum(freqs)
+    assert np.all(out[:, -1] == (1 << 16))
+    return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# device encoder
+# ---------------------------------------------------------------------------
+
+def _encode_scan(symbols, rows, starts_tab, freqs_tab, lanes, max_bytes):
+    """symbols: (L, K) int32 in [-128,127], reversed (last symbol first);
+    rows: (L, K) int32 cdf-row ids.  Returns (buf, lens, states)."""
+    L, K = symbols.shape
+    lane_ids = jnp.arange(L)
+
+    def body(carry, t):
+        state, cursors, buf = carry
+        s = symbols[:, t] + 128
+        r = rows[:, t]
+        start = starts_tab[r, s].astype(jnp.uint32)
+        freq = freqs_tab[r, s].astype(jnp.uint32)
+        x_max = freq << 15
+        for _ in range(3):  # renorm emits at most 3 bytes (freq >= 1)
+            cond = state >= x_max
+            byte = (state & 0xFF).astype(jnp.uint8)
+            pos = jnp.where(cond, cursors, max_bytes)
+            buf = buf.at[lane_ids, pos].set(byte, mode="drop")
+            state = jnp.where(cond, state >> 8, state)
+            cursors = cursors + cond.astype(jnp.int32)
+        state = ((state // freq) << 16) + (state % freq) + start
+        return (state, cursors, buf), None
+
+    init = (jnp.full((L,), 1 << 23, jnp.uint32),
+            jnp.zeros((L,), jnp.int32),
+            jnp.zeros((L, max_bytes), jnp.uint8))
+    (state, cursors, buf), _ = lax.scan(body, init, jnp.arange(K))
+    return buf, cursors, state
+
+
+class DeviceRansEncoder:
+    """Holds device-side full-range CDF tables and the jitted lane
+    encoder.  Table layout: rows [0..n_y) = gaussian scale rows, rows
+    [n_y..) = z rows (row = n_y + qp*C + channel)."""
+
+    def __init__(self, lanes=512, bytes_per_symbol=0.75):
+        self.lanes = lanes
+        self.bytes_per_symbol = bytes_per_symbol
+        self.starts = None
+        self.freqs = None
+        self.n_y_rows = 0
+        self._encode = jax.jit(_encode_scan, static_argnums=(4, 5))
+
+    def set_tables(self, y_rows, z_rows):
+        """y_rows/z_rows: (n, 257) int32 full-range cumulative rows."""
+        table = np.concatenate([y_rows, z_rows], axis=0)
+        self.n_y_rows = y_rows.shape[0]
+        starts = table[:, :256]
+        freqs = table[:, 1:] - table[:, :256]
+        self.starts = jnp.asarray(starts, jnp.int32)
+        self.freqs = jnp.asarray(freqs, jnp.int32)
+
+    def encode_jit_args(self, symbols_flat, rows_flat):
+        """Device-side prep: pad + reshape + reverse into lane layout.
+        Call INSIDE a jit stage.  symbols_flat int32 [-128,127];
+        rows_flat int32 row ids."""
+        L = self.lanes
+        n = symbols_flat.shape[0]
+        K = -(-n // L)
+        pad = L * K - n
+        s = jnp.concatenate([symbols_flat,
+                             jnp.zeros((pad,), symbols_flat.dtype)])
+        r = jnp.concatenate([rows_flat, jnp.zeros((pad,), rows_flat.dtype)])
+        s = s.reshape(L, K)[:, ::-1]
+        r = r.reshape(L, K)[:, ::-1]
+        return s, r
+
+    def encode(self, symbols_lanes, rows_lanes):
+        """Runs the scan encoder; returns device arrays
+        (buf, lens, states)."""
+        L, K = symbols_lanes.shape
+        max_bytes = max(64, int(K * self.bytes_per_symbol)) + 8
+        return self._encode(symbols_lanes, rows_lanes, self.starts,
+                            self.freqs, self.lanes, max_bytes)
+
+    def serialize(self, buf_np, lens_np, states_np, n_symbols):
+        """Assemble the v2 container from fetched arrays."""
+        L, MB = buf_np.shape
+        K = -(-n_symbols // L)
+        if int(lens_np.max()) >= MB - 4:
+            raise OverflowError("device rANS lane buffer overflow")
+        parts = [np.uint32(n_symbols).tobytes(),
+                 np.uint16(L).tobytes(), np.uint16(K).tobytes()]
+        for l in range(L):
+            ln = int(lens_np[l])
+            parts.append(np.uint16(ln).tobytes())
+            parts.append(np.uint32(states_np[l]).tobytes())
+            parts.append(buf_np[l, :ln][::-1].tobytes())
+        return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# host decoder (vectorized across lanes; reference implementation)
+# ---------------------------------------------------------------------------
+
+def decode_device_stream(stream, rows_flat, table_rows):
+    """Decode a v2 container.  rows_flat: (N,) int32 row ids in symbol
+    order (the decoder-side model supplies them); table_rows: (n, 257)
+    full-range cumulative rows.  Returns int32 symbols (N,)."""
+    off = 0
+    n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+    L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+    K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+
+    lane_data = []
+    states = np.zeros(L, np.uint64)
+    for l in range(L):
+        ln = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+        states[l] = np.frombuffer(stream, np.uint32, 1, off)[0]; off += 4
+        lane_data.append(np.frombuffer(stream, np.uint8, ln, off))
+        off += ln
+
+    pad = L * K - n
+    rows = np.concatenate([np.asarray(rows_flat, np.int64),
+                           np.zeros(pad, np.int64)]).reshape(L, K)
+    table = np.asarray(table_rows, np.int64)
+
+    max_len = max((d.size for d in lane_data), default=0)
+    data = np.zeros((L, max_len + 1), np.uint8)
+    for l, d in enumerate(lane_data):
+        data[l, :d.size] = d
+    ptr = np.zeros(L, np.int64)
+
+    out = np.zeros((L, K), np.int64)
+    lane_ids = np.arange(L)
+    for t in range(K):
+        r = rows[:, t]
+        cdf_rows = table[r]                       # (L, 257)
+        f = (states & 0xFFFF).astype(np.int64)
+        sym = (cdf_rows[:, 1:] <= f[:, None]).sum(axis=1)  # (L,)
+        start = cdf_rows[lane_ids, sym]
+        freq = cdf_rows[lane_ids, sym + 1] - start
+        states = freq.astype(np.uint64) * (states >> np.uint64(16)) \
+            + (states & np.uint64(0xFFFF)) - start.astype(np.uint64)
+        for _ in range(3):
+            need = states < (1 << 23)
+            byte = data[lane_ids, np.minimum(ptr, max_len)]
+            states = np.where(need, (states << np.uint64(8))
+                              | byte.astype(np.uint64), states)
+            ptr = ptr + need
+        out[:, t] = sym - 128
+    return out.reshape(-1)[:n].astype(np.int32)

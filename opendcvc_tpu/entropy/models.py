@@ -157,9 +157,10 @@ class BitEstimator:
         offset = offset.reshape(-1)
         quantized_cdf = pmf_to_cdf(pmf, tail_mass, pmf_length, max_length)
         cdf_length = pmf_length + 2
+        self.cdf_info = (quantized_cdf, cdf_length.astype(np.int32),
+                         offset.astype(np.int32))
         self.cdf_group_index = entropy_coder.add_cdf(
-            quantized_cdf, cdf_length.astype(np.int32),
-            offset.astype(np.int32), build_lut=False)
+            *self.cdf_info, build_lut=False)
 
     def encode_z(self, z_int8_flat, qp):
         """z: NHWC-flattened int8 numpy array."""
@@ -252,9 +253,11 @@ class GaussianEncoder:
         tail_mass = 2 * lower[:, :1]
 
         quantized_cdf = pmf_to_cdf(pmf, tail_mass, pmf_length, max_length)
-        self.cdf_group_index = entropy_coder.add_cdf(
-            quantized_cdf, (pmf_length + 2).astype(np.int32),
-            (-pmf_center).astype(np.int32), build_lut=True)
+        self.cdf_info = (quantized_cdf,
+                         (pmf_length + 2).astype(np.int32),
+                         (-pmf_center).astype(np.int32))
+        self.cdf_group_index = entropy_coder.add_cdf(*self.cdf_info,
+                                                     build_lut=True)
 
     # -- device-side helpers (called from jitted model graphs) -------------
 

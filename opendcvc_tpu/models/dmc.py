@@ -15,6 +15,8 @@ function, so the temporal prediction chain cannot drift between the two
 sides over arbitrarily long GOPs (intra period -1).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -294,6 +296,26 @@ def _stage_pack_all(z_int8, packed0, packed1):
                             packed0.reshape(-1), packed1.reshape(-1)])
 
 
+def _stage_lane_symbols(z_int8, packed0, packed1, qp, n_y_rows, lanes):
+    """Device-EC path: unpack the symbol planes into (symbol, cdf-row)
+    sequences — z rows live after the gaussian rows at
+    n_y_rows + qp*C + channel — and lay them out into rANS lanes."""
+    z_sym = z_int8.reshape(-1).astype(jnp.int32)
+    nz = z_sym.shape[0]
+    c = z_int8.shape[-1]
+    z_rows = n_y_rows + qp * c + (jnp.arange(nz) % c)
+    y0 = packed0.reshape(-1).astype(jnp.int32)
+    y1 = packed1.reshape(-1).astype(jnp.int32)
+    sym = jnp.concatenate([z_sym, y0 >> 8, y1 >> 8])
+    rows = jnp.concatenate([z_rows, y0 & 255, y1 & 255])
+    n = sym.shape[0]
+    k = -(-n // lanes)
+    pad = lanes * k - n
+    sym = jnp.concatenate([sym, jnp.zeros((pad,), sym.dtype)])
+    rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+    return sym.reshape(lanes, k)[:, ::-1], rows.reshape(lanes, k)[:, ::-1]
+
+
 def _stage_feature(p, y_hat, ctx, qp):
     """Shared: latent decoder -> next reference feature
     (video_model.py:100-129).  MUST be identical enc/dec: the temporal
@@ -368,6 +390,12 @@ class DMC:
         self._j_feature_out = jax.jit(_stage_feature_out)
         self._j_recon_x = jax.jit(_stage_recon_x)
         self._j_pack_all = jax.jit(_stage_pack_all)
+        self._j_lane_symbols = jax.jit(_stage_lane_symbols,
+                                       static_argnums=(4, 5))
+        # device-side entropy coding (tpu-lane v2 format): opt-in
+        self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
+            not in ("0", "false", "False")
+        self.device_encoder = None
 
     # -- setup ---------------------------------------------------------------
 
@@ -392,6 +420,16 @@ class DMC:
         self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
         self.bit_estimator_z.update(self.params["bit_estimator_z"],
                                     self.entropy_coder)
+        if self.device_ec:
+            from ..entropy.device_rans import (DeviceRansEncoder,
+                                               full_range_cdf_rows)
+            self.device_encoder = DeviceRansEncoder(
+                lanes=int(os.environ.get("OPENDCVC_TPU_EC_LANES", 512)),
+                bytes_per_symbol=float(
+                    os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5)))
+            y_rows = full_range_cdf_rows(*self.gaussian_encoder.cdf_info)
+            z_rows = full_range_cdf_rows(*self.bit_estimator_z.cdf_info)
+            self.device_encoder.set_tables(y_rows, z_rows)
 
     def set_use_two_entropy_coders(self, b):
         self.entropy_coder.set_use_two_entropy_coders(b)
@@ -468,6 +506,26 @@ class DMC:
 
         n_z = int(np.prod(z_int8.shape))
         n_y = int(np.prod(packed0.shape))
+        if self.device_ec and fz is None:
+            # device-side rANS: only compressed bytes cross D2H
+            n_total = n_z + 2 * n_y
+            sym_l, row_l = self._j_lane_symbols(
+                z_int8, packed0, packed1, qp_dev,
+                self.device_encoder.n_y_rows, self.device_encoder.lanes)
+            buf, lens, states = self.device_encoder.encode(sym_l, row_l)
+            for a in (buf, lens, states):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            self.add_ref_frame(feature_out, None)
+
+            def finish_device():
+                b, ln, st = jax.device_get([buf, lens, states])
+                return self.device_encoder.serialize(b, ln, st, n_total)
+
+            return finish_device
+
         if fz is None:
             flat = self._j_pack_all(z_int8, packed0, packed1)
             try:

@@ -297,6 +297,14 @@ class DMCHEM:
 
         self._j_mv_enc = jax.jit(_stage_mv_enc)
         self._j_mv_prior = jax.jit(_stage_mv_prior)
+        self._j_mv_prior_i = jax.jit(
+            lambda p, z, yh, yw: _stage_mv_prior(
+                p, z, jnp.zeros((1, yh, yw, CH_MV), z.dtype)),
+            static_argnums=(2, 3))
+        self._j_ctx_prior_i = jax.jit(
+            lambda p, z, c3, yh, yw: _stage_ctx_prior(
+                p, z, c3, jnp.zeros((1, yh, yw, CH_M), z.dtype)),
+            static_argnums=(3, 4))
         self._j_motion_comp = jax.jit(_stage_motion_comp)
         self._j_motion_comp_i = jax.jit(
             lambda p, mv, rf: _stage_motion_comp(p, mv, rf, None))
@@ -306,13 +314,13 @@ class DMCHEM:
             lambda p, *a: _stage_spatial(p["mv_y_spatial_prior"], *a))
         self._j_y_spatial = jax.jit(
             lambda p, *a: _stage_spatial(p["y_spatial_prior"], *a))
-        self._j_fold_index = jax.jit(_stage_fold_index_2x,
-                                     static_argnums=(1, 2))
-        self._j_enc_mask = jax.jit(_stage_enc_mask_2x, static_argnums=(3,))
-        self._j_dec_restore = jax.jit(_stage_dec_restore_2x,
-                                      static_argnums=(2,))
         self._j_mv_dec = jax.jit(_stage_mv_dec)
         self._j_recon = jax.jit(_stage_recon)
+        self._stages = None  # built in update()
+        dt = self.dtype
+        self._j_q = jax.jit(
+            lambda basic, scale: (jnp.maximum(basic, 0.5)
+                                  * scale)[None, None, None, :].astype(dt))
 
     def init_params(self, seed=0):
         self.params = dmc_hem_init(jax.random.PRNGKey(seed),
@@ -333,60 +341,61 @@ class DMCHEM:
                      self.gaussian_encoder.SCALE_MAX,
                      float(np.log(self.gaussian_encoder.SCALE_MIN)),
                      self.gaussian_encoder.log_step_recip)
+        if self._stages is None:
+            from .prior_stages import make_pass_stages
+            self._stages = make_pass_stages(self._cfg, 2)
 
     def get_q_scales(self):
         return (np.asarray(self.params["y_q_scale"]).reshape(-1),
                 np.asarray(self.params["mv_y_q_scale"]).reshape(-1))
 
-    # -- dual prior drivers ----------------------------------------------------
+    # -- dual prior drivers (fused eager-free stages) --------------------------
 
-    def _compress_2x(self, y, q_step, scales, means, spatial_fn):
-        y = y / q_step
-        packed = []
-        idx0 = self._j_fold_index(scales, 0, self._cfg)
-        y_q_f0, y_hat_0 = self._j_enc_mask(y, scales, means, 0)
+    def _compress_2x(self, y, q_step, scales, means, spatial_fn, outer_q):
+        st = self._stages
+        y_div, packed0, y_hat_0 = st["enc_pass0_qstep"](y, q_step, scales,
+                                                        means)
         scales1, means1 = spatial_fn(y_hat_0, means, scales, q_step)
-        idx1 = self._j_fold_index(scales1, 1, self._cfg)
-        y_q_f1, y_hat_1 = self._j_enc_mask(y, scales1, means1, 1)
-        for y_q_f, idx in ((y_q_f0, idx0), (y_q_f1, idx1)):
-            pk = (np.asarray(y_q_f, np.int16) << 8) | \
-                np.asarray(idx).astype(np.int16)
-            packed.append(pk.reshape(-1))
-        return packed, (y_hat_0 + y_hat_1) * q_step
+        packed1, y_hat_1 = st["enc_pass_k"](y_div, scales1, means1, None, 1)
+        y_hat = st["finalize_qstep"](y_hat_0, y_hat_1, q_step, outer_q)
+        return [np.asarray(packed0).reshape(-1),
+                np.asarray(packed1).reshape(-1)], y_hat
 
-    def _decompress_2x(self, q_step, scales, means, spatial_fn):
-        idx0 = self._j_fold_index(scales, 0, self._cfg)
+    def _decompress_2x(self, q_step, scales, means, spatial_fn, outer_q):
+        st = self._stages
+        idx0 = st["dec_index_k"](scales, 0)
         self.gaussian_encoder.decode_y(np.asarray(idx0))
         y_q_r0 = self.gaussian_encoder.get_y(idx0.shape)
-        y_hat_0 = self._j_dec_restore(jnp.asarray(y_q_r0, self.dtype),
-                                      means, 0)
+        y_hat_0 = st["dec_restore_acc"](jnp.asarray(y_q_r0, self.dtype),
+                                        means, None, 0)
         scales1, means1 = spatial_fn(y_hat_0, means, scales, q_step)
-        idx1 = self._j_fold_index(scales1, 1, self._cfg)
+        idx1 = st["dec_index_k"](scales1, 1)
         self.gaussian_encoder.decode_y(np.asarray(idx1))
         y_q_r1 = self.gaussian_encoder.get_y(idx1.shape)
-        y_hat_1 = self._j_dec_restore(jnp.asarray(y_q_r1, self.dtype),
-                                      means1, 1)
-        return (y_hat_0 + y_hat_1) * q_step
+        y_hat_1 = st["dec_restore_acc"](jnp.asarray(y_q_r1, self.dtype),
+                                        means1, None, 1)
+        return st["finalize_qstep"](y_hat_0, y_hat_1, q_step, outer_q)
 
     # -- compress / decompress --------------------------------------------------
 
     def compress(self, x, dpb, mv_y_q_scale, y_q_scale):
         p = self.params
         x = jnp.asarray(x, self.dtype)
-        mv_q = _q_vec(p["mv_y_q_basic"], jnp.asarray(mv_y_q_scale),
-                      self.dtype)
-        y_q = _q_vec(p["y_q_basic"], jnp.asarray(y_q_scale), self.dtype)
+        mv_q = self._j_q(p["mv_y_q_basic"],
+                         np.asarray(mv_y_q_scale, np.float32))
+        y_q = self._j_q(p["y_q_basic"], np.asarray(y_q_scale, np.float32))
 
         mv_y, mv_z_hat, mv_z_int8 = self._j_mv_enc(p, x, dpb["ref_frame"],
                                                    mv_q)
-        ref_mv_y = dpb["ref_mv_y"]
-        if ref_mv_y is None:
-            ref_mv_y = jnp.zeros_like(mv_y)
-        mv_qs, mv_scales, mv_means = self._j_mv_prior(p, mv_z_hat, ref_mv_y)
+        if dpb["ref_mv_y"] is None:
+            mv_qs, mv_scales, mv_means = self._j_mv_prior_i(
+                p, mv_z_hat, mv_y.shape[1], mv_y.shape[2])
+        else:
+            mv_qs, mv_scales, mv_means = self._j_mv_prior(
+                p, mv_z_hat, dpb["ref_mv_y"])
         mv_packed, mv_y_hat = self._compress_2x(
             mv_y, mv_qs, mv_scales, mv_means,
-            lambda *a: self._j_mv_spatial(p, *a))
-        mv_y_hat = mv_y_hat * mv_q
+            lambda *a: self._j_mv_spatial(p, *a), mv_q)
 
         mv_hat = self._j_mv_dec(p, mv_y_hat)
         if dpb["ref_feature"] is None:
@@ -397,13 +406,14 @@ class DMCHEM:
                                                 dpb["ref_feature"])
 
         y, z_hat, z_int8 = self._j_ctx_enc(p, x, c1, c2, c3, y_q)
-        ref_y = dpb["ref_y"]
-        if ref_y is None:
-            ref_y = jnp.zeros_like(y)
-        qs, scales, means = self._j_ctx_prior(p, z_hat, c3, ref_y)
+        if dpb["ref_y"] is None:
+            qs, scales, means = self._j_ctx_prior_i(
+                p, z_hat, c3, y.shape[1], y.shape[2])
+        else:
+            qs, scales, means = self._j_ctx_prior(p, z_hat, c3,
+                                                  dpb["ref_y"])
         y_packed, y_hat = self._compress_2x(
-            y, qs, scales, means, lambda *a: self._j_y_spatial(p, *a))
-        y_hat = y_hat * y_q
+            y, qs, scales, means, lambda *a: self._j_y_spatial(p, *a), y_q)
 
         feature, x_hat = self._j_recon(p, y_hat, c1, c2, c3)
 
@@ -426,9 +436,9 @@ class DMCHEM:
     def decompress(self, dpb, bit_stream, height, width, mv_y_q_scale,
                    y_q_scale):
         p = self.params
-        mv_q = _q_vec(p["mv_y_q_basic"], jnp.asarray(mv_y_q_scale),
-                      self.dtype)
-        y_q = _q_vec(p["y_q_basic"], jnp.asarray(y_q_scale), self.dtype)
+        mv_q = self._j_q(p["mv_y_q_basic"],
+                         np.asarray(mv_y_q_scale, np.float32))
+        y_q = self._j_q(p["y_q_basic"], np.asarray(y_q_scale, np.float32))
 
         self.entropy_coder.set_stream(bit_stream)
         z_size = C.get_downsampled_shape(height, width, 64)
@@ -437,13 +447,15 @@ class DMCHEM:
                                self.dtype)
 
         y_h, y_w = C.get_downsampled_shape(height, width, 16)
-        ref_mv_y = dpb["ref_mv_y"]
-        if ref_mv_y is None:
-            ref_mv_y = jnp.zeros((1, y_h, y_w, CH_MV), self.dtype)
-        mv_qs, mv_scales, mv_means = self._j_mv_prior(p, mv_z_hat, ref_mv_y)
+        if dpb["ref_mv_y"] is None:
+            mv_qs, mv_scales, mv_means = self._j_mv_prior_i(p, mv_z_hat,
+                                                            y_h, y_w)
+        else:
+            mv_qs, mv_scales, mv_means = self._j_mv_prior(
+                p, mv_z_hat, dpb["ref_mv_y"])
         mv_y_hat = self._decompress_2x(
             mv_qs, mv_scales, mv_means,
-            lambda *a: self._j_mv_spatial(p, *a)) * mv_q
+            lambda *a: self._j_mv_spatial(p, *a), mv_q)
 
         mv_hat = self._j_mv_dec(p, mv_y_hat)
         if dpb["ref_feature"] is None:
@@ -455,12 +467,13 @@ class DMCHEM:
 
         self.bit_estimator_z.decode_z(z_size, 0)
         z_hat = jnp.asarray(self.bit_estimator_z.get_z(z_size), self.dtype)
-        ref_y = dpb["ref_y"]
-        if ref_y is None:
-            ref_y = jnp.zeros((1, y_h, y_w, CH_M), self.dtype)
-        qs, scales, means = self._j_ctx_prior(p, z_hat, c3, ref_y)
+        if dpb["ref_y"] is None:
+            qs, scales, means = self._j_ctx_prior_i(p, z_hat, c3, y_h, y_w)
+        else:
+            qs, scales, means = self._j_ctx_prior(p, z_hat, c3,
+                                                  dpb["ref_y"])
         y_hat = self._decompress_2x(
-            qs, scales, means, lambda *a: self._j_y_spatial(p, *a)) * y_q
+            qs, scales, means, lambda *a: self._j_y_spatial(p, *a), y_q)
 
         feature, x_hat = self._j_recon(p, y_hat, c1, c2, c3)
         return {

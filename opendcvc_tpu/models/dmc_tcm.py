@@ -385,6 +385,7 @@ class DMCTCM:
         self._j_ctx_enc = jax.jit(_stage_ctx_enc)
         self._j_y_params = jax.jit(_stage_y_params)
         self._j_recon = jax.jit(_stage_recon)
+        self._j_add_means = jax.jit(lambda q, m: q.astype(m.dtype) + m)
 
     def init_params(self, seed=0):
         self.params = dmc_tcm_init(jax.random.PRNGKey(seed))
@@ -449,7 +450,7 @@ class DMCTCM:
         mv_idx = self._j_index_dense(mv_scales, self._cfg)
         self.gaussian_encoder.decode_y(np.asarray(mv_idx))
         mv_y_q = self.gaussian_encoder.get_y(mv_idx.shape)
-        mv_y_hat = jnp.asarray(mv_y_q, self.dtype) + mv_means
+        mv_y_hat = self._j_add_means(jnp.asarray(mv_y_q), mv_means)
 
         mv_hat = self._j_mv_dec(p, mv_y_hat)
         if ref_feature is None:
@@ -464,7 +465,7 @@ class DMCTCM:
         idx = self._j_index_dense(scales, self._cfg)
         self.gaussian_encoder.decode_y(np.asarray(idx))
         y_q = self.gaussian_encoder.get_y(idx.shape)
-        y_hat = jnp.asarray(y_q, self.dtype) + means
+        y_hat = self._j_add_means(jnp.asarray(y_q), means)
 
         feature, x_hat = self._j_recon(p, y_hat, c1, c2, c3)
         return {"x_hat": x_hat, "feature": feature}

@@ -213,8 +213,9 @@ def _stage_dec_restore(y_q_r, means, k):
     return F.restore_y_2x(y_q_r, means, masks[k])
 
 
-def _stage_recon(p, y_hat01, q_step, q_scale):
-    y_hat = y_hat01 * q_step * _curr_q(p, q_scale, y_hat01.dtype)
+def _stage_recon(p, y_hat_0, y_hat_1, q_step, q_scale):
+    y_hat = (y_hat_0 + y_hat_1) * q_step \
+        * _curr_q(p, q_scale, y_hat_0.dtype)
     return jnp.clip(dec_apply(p["dec"], y_hat), 0.0, 1.0)
 
 
@@ -269,6 +270,9 @@ class EVC:
         self.bit_estimator_z.update(self.params["bit_estimator_z"],
                                     self.entropy_coder)
         self._cfg = _fold_index_cfg(self.gaussian_encoder)
+        if getattr(self, "_stages", None) is None:
+            from .prior_stages import make_pass_stages
+            self._stages = make_pass_stages(self._cfg, 2)
 
     def get_q_scales(self):
         return np.asarray(self.params["q_scale"]).reshape(-1)
@@ -277,27 +281,25 @@ class EVC:
 
     def compress(self, x, q_scale):
         p = self.params
+        st = self._stages
         x = jnp.asarray(x, self.dtype)
-        q_scale = jnp.asarray(q_scale, self.dtype)
+        q_scale = np.asarray(q_scale, np.float32)
 
         y, z_hat, z_int8 = self._j_enc_front(p, x, q_scale)
         q_step, scales, means = self._j_prior(p, z_hat)
-        y = y / q_step
 
-        idx0 = self._j_fold_index(scales, 0, self._cfg)
-        y_q_f0, y_hat_0 = self._j_enc_mask(y, scales, means, 0)
+        y_div, packed0, y_hat_0 = st["enc_pass0_qstep"](y, q_step, scales,
+                                                        means)
         scales1, means1 = self._j_spatial(p, y_hat_0, means, scales, q_step)
-        idx1 = self._j_fold_index(scales1, 1, self._cfg)
-        y_q_f1, y_hat_1 = self._j_enc_mask(y, scales1, means1, 1)
-
-        x_hat = self._j_recon(p, y_hat_0 + y_hat_1, q_step, q_scale)
+        packed1, y_hat_1 = st["enc_pass_k"](y_div, scales1, means1, None, 1)
+        x_hat = self._j_recon(p, y_hat_0, y_hat_1, q_step, q_scale)
 
         self.entropy_coder.reset()
         self.bit_estimator_z.encode_z(np.asarray(z_int8).reshape(-1), 0)
-        for y_q_f, idx in ((y_q_f0, idx0), (y_q_f1, idx1)):
-            packed = (np.asarray(y_q_f, np.int16) << 8) | \
-                np.asarray(idx).astype(np.int16)
-            self.gaussian_encoder.encode_y_packed(packed.reshape(-1))
+        self.gaussian_encoder.encode_y_packed(
+            np.asarray(packed0).reshape(-1))
+        self.gaussian_encoder.encode_y_packed(
+            np.asarray(packed1).reshape(-1))
         self.entropy_coder.flush()
         return {"bit_stream": self.entropy_coder.get_encoded_stream(),
                 "x_hat": x_hat}
@@ -313,19 +315,20 @@ class EVC:
 
         q_step, scales, means = self._j_prior(p, z_hat)
 
-        idx0 = self._j_fold_index(scales, 0, self._cfg)
+        st = self._stages
+        idx0 = st["dec_index_k"](scales, 0)
         self.gaussian_encoder.decode_y(np.asarray(idx0))
         y_q_r0 = self.gaussian_encoder.get_y(idx0.shape)
-        y_hat_0 = self._j_dec_restore(jnp.asarray(y_q_r0, self.dtype),
-                                      means, 0)
+        y_hat_0 = st["dec_restore_acc"](jnp.asarray(y_q_r0, self.dtype),
+                                        means, None, 0)
         scales1, means1 = self._j_spatial(p, y_hat_0, means, scales, q_step)
-        idx1 = self._j_fold_index(scales1, 1, self._cfg)
+        idx1 = st["dec_index_k"](scales1, 1)
         self.gaussian_encoder.decode_y(np.asarray(idx1))
         y_q_r1 = self.gaussian_encoder.get_y(idx1.shape)
-        y_hat_1 = self._j_dec_restore(jnp.asarray(y_q_r1, self.dtype),
-                                      means1, 1)
+        y_hat_1 = st["dec_restore_acc"](jnp.asarray(y_q_r1, self.dtype),
+                                        means1, None, 1)
 
-        x_hat = self._j_recon(p, y_hat_0 + y_hat_1, q_step, q_scale)
+        x_hat = self._j_recon(p, y_hat_0, y_hat_1, q_step, q_scale)
         return {"x_hat": x_hat}
 
 
@@ -383,43 +386,45 @@ class ScalableEVC(EVC):
         assert 0 <= rate < self.enc_num
         self.rate = rate
 
+    def _enc_front_for_rate(self, rate):
+        if not hasattr(self, "_enc_fronts"):
+            self._enc_fronts = {}
+        if rate not in self._enc_fronts:
+            def enc_front(p_all, x_in, q_scale_in):
+                # cumulative latent over the first (rate+1) encoders
+                y = enc_apply(p_all["encs"][0], x_in)
+                for e in p_all["encs"][1:rate + 1]:
+                    y = y + enc_apply(e, x_in)
+                q = jnp.maximum(p_all["q_basic"], 0.5) * \
+                    q_scale_in.astype(x_in.dtype)
+                y = y / q[None, None, None, :]
+                z = hyper_enc_apply(p_all["hyper"], y)
+                z_hat, z_int8 = F.round_and_to_int8(z)
+                return y, z_hat.astype(x_in.dtype), z_int8
+            self._enc_fronts[rate] = jax.jit(enc_front)
+        return self._enc_fronts[rate]
+
     def compress(self, x, q_scale):
-        # cumulative latent over the first (rate+1) encoders
-        p = dict(self.params)
-        encs = self.params["encs"][: self.rate + 1]
-
-        def enc_sum(p_unused, x):
-            y = enc_apply(encs[0], x)
-            for e in encs[1:]:
-                y = y + enc_apply(e, x)
-            return y
-
+        enc_front = self._enc_front_for_rate(self.rate)
+        st = self._stages
         x_dev = jnp.asarray(x, self.dtype)
-        y = enc_sum(None, x_dev)
-        q = jnp.maximum(self.params["q_basic"], 0.5) * \
-            jnp.asarray(q_scale, self.dtype)
-        y = y / q[None, None, None, :]
-        z = hyper_enc_apply(self.params["hyper"], y)
-        z_hat, z_int8 = F.round_and_to_int8(z)
-        q_step, scales, means = self._j_prior(self.params,
-                                              z_hat.astype(self.dtype))
-        y = y / q_step
+        qs = np.asarray(q_scale, np.float32)
+        y, z_hat, z_int8 = enc_front(self.params, x_dev, jnp.asarray(qs))
+        q_step, scales, means = self._j_prior(self.params, z_hat)
 
-        idx0 = self._j_fold_index(scales, 0, self._cfg)
-        y_q_f0, y_hat_0 = self._j_enc_mask(y, scales, means, 0)
+        y_div, packed0, y_hat_0 = st["enc_pass0_qstep"](y, q_step, scales,
+                                                        means)
         scales1, means1 = self._j_spatial(self.params, y_hat_0, means,
                                           scales, q_step)
-        idx1 = self._j_fold_index(scales1, 1, self._cfg)
-        y_q_f1, y_hat_1 = self._j_enc_mask(y, scales1, means1, 1)
-        x_hat = self._j_recon(self.params, y_hat_0 + y_hat_1, q_step,
-                              jnp.asarray(q_scale, self.dtype))
+        packed1, y_hat_1 = st["enc_pass_k"](y_div, scales1, means1, None, 1)
+        x_hat = self._j_recon(self.params, y_hat_0, y_hat_1, q_step, qs)
 
         self.entropy_coder.reset()
         self.bit_estimator_z.encode_z(np.asarray(z_int8).reshape(-1), 0)
-        for y_q_f, idx in ((y_q_f0, idx0), (y_q_f1, idx1)):
-            packed = (np.asarray(y_q_f, np.int16) << 8) | \
-                np.asarray(idx).astype(np.int16)
-            self.gaussian_encoder.encode_y_packed(packed.reshape(-1))
+        self.gaussian_encoder.encode_y_packed(
+            np.asarray(packed0).reshape(-1))
+        self.gaussian_encoder.encode_y_packed(
+            np.asarray(packed1).reshape(-1))
         self.entropy_coder.flush()
         return {"bit_stream": self.entropy_coder.get_encoded_stream(),
                 "x_hat": x_hat}

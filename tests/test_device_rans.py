@@ -1,0 +1,68 @@
+"""Device-side (wide-interleaved lane) rANS: roundtrip vs the host
+reference decoder, full-range CDF construction, DMC integration."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from opendcvc_tpu.entropy.device_rans import (
+    DeviceRansEncoder, full_range_cdf_rows, decode_device_stream)
+from tests.test_rans import make_gaussian_cdfs
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(0)
+    cdfs, sizes, offsets = make_gaussian_cdfs(16, rng)
+    rows = full_range_cdf_rows(cdfs, sizes, offsets)
+    return rows
+
+
+def test_full_range_rows(tables):
+    rows = tables
+    assert rows.shape == (16, 257)
+    freqs = rows[:, 1:] - rows[:, :-1]
+    assert np.all(freqs >= 1)
+    assert np.all(rows[:, -1] == 1 << 16)
+    assert np.all(rows[:, 0] == 0)
+
+
+@pytest.mark.parametrize("n,lanes", [(1000, 8), (5000, 64), (333, 16)])
+def test_device_encode_host_decode(tables, n, lanes):
+    rows_tab = tables
+    rng = np.random.default_rng(n)
+    sym = rng.integers(-40, 41, n).astype(np.int32)
+    row_ids = rng.integers(0, 16, n).astype(np.int32)
+
+    enc = DeviceRansEncoder(lanes=lanes, bytes_per_symbol=3.0)
+    enc.set_tables(rows_tab, rows_tab[:1])  # second table unused here
+    sym_l, row_l = enc.encode_jit_args(jnp.asarray(sym),
+                                       jnp.asarray(row_ids))
+    buf, lens, states = enc.encode(sym_l, row_l)
+    stream = enc.serialize(np.asarray(buf), np.asarray(lens),
+                           np.asarray(states), n)
+    assert len(stream) > 0
+
+    decoded = decode_device_stream(stream, row_ids, rows_tab)
+    np.testing.assert_array_equal(decoded, sym)
+
+
+def test_dmc_device_ec_stream():
+    os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
+    try:
+        from opendcvc_tpu.models.dmc import DMC
+        net = DMC()
+        assert net.device_ec
+        net.init_params(seed=0)
+        net.update()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        net.clear_dpb()
+        net.set_curr_poc(0)
+        net.add_ref_frame(None, x)
+        out = net.compress(x, 21)
+        assert len(out["bit_stream"]) > 0
+    finally:
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
