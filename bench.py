@@ -22,6 +22,11 @@ BASELINE_ENC_FPS = 125.2
 
 
 def main():
+    # device-side entropy coding is the fastest configuration measured on
+    # tunneled devices; callers can override via env
+    os.environ.setdefault("OPENDCVC_TPU_DEVICE_EC", "1")
+    os.environ.setdefault("OPENDCVC_TPU_EC_LANES", "4096")
+    os.environ.setdefault("OPENDCVC_TPU_EC_BPS", "0.4")
     import jax
     import jax.numpy as jnp
     from opendcvc_tpu.models.dmc import DMC
@@ -42,8 +47,9 @@ def main():
     i_net.update()
     p_net = DMC(dtype=dtype)
     p_net.init_params(seed=1)
-    # moderate symbol magnitudes for a realistic entropy-coding load
-    p_net.params["q_encoder"] = p_net.params["q_encoder"] * 0.5
+    # moderate symbol magnitudes for the entropy-coding load
+    q_scale = float(os.environ.get("BENCH_Q_SCALE", 0.5))
+    p_net.params["q_encoder"] = p_net.params["q_encoder"] * q_scale
     p_net.update()
 
     pr, pb = CM.get_padding_size(height, width, 16)

@@ -132,11 +132,12 @@ class DeviceRansEncoder:
         r = r.reshape(L, K)[:, ::-1]
         return s, r
 
-    def encode(self, symbols_lanes, rows_lanes):
+    def encode(self, symbols_lanes, rows_lanes, bytes_per_symbol=None):
         """Runs the scan encoder; returns device arrays
         (buf, lens, states)."""
         L, K = symbols_lanes.shape
-        max_bytes = max(64, int(K * self.bytes_per_symbol)) + 8
+        bps = bytes_per_symbol or self.bytes_per_symbol
+        max_bytes = max(64, int(K * bps)) + 8
         return self._encode(symbols_lanes, rows_lanes, self.starts,
                             self.freqs, self.lanes, max_bytes)
 

@@ -522,7 +522,18 @@ class DMC:
 
             def finish_device():
                 b, ln, st = jax.device_get([buf, lens, states])
-                return self.device_encoder.serialize(b, ln, st, n_total)
+                bps = self.device_encoder.bytes_per_symbol
+                while True:
+                    try:
+                        return self.device_encoder.serialize(b, ln, st,
+                                                             n_total)
+                    except OverflowError:
+                        # rare hard frame: re-encode with a larger lane
+                        # buffer (format is unchanged, only the staging
+                        # buffer grows)
+                        bps = min(bps * 2, 3.0)
+                        b, ln, st = jax.device_get(list(
+                            self.device_encoder.encode(sym_l, row_l, bps)))
 
             return finish_device
 

@@ -151,17 +151,33 @@ def _stage_fold_index(scales, k, cfg):
     return indexes
 
 
-def _stage_enc_mask(y, scales, means, k):
-    _, h, w, c = y.shape
-    masks = F.checkerboard_masks_4x(h, w, c, y.dtype)
-    _, y_q, y_hat, _ = F.process_with_mask(y, scales, means, masks[k], None)
-    return F.fold_quarters(y_q).astype(jnp.int16), y_hat
+def _stage_enc_pass(y_s, scales, means, y_hat_so_far, k, cfg):
+    """Fused encoder pass k: masked quantization + index/pack +
+    accumulation."""
+    _, h, w, c = y_s.shape
+    masks = F.checkerboard_masks_4x(h, w, c, y_s.dtype)
+    _, y_q, y_hat_k, _ = F.process_with_mask(y_s, scales, means, masks[k],
+                                             None)
+    scales_r = F.fold_quarters(scales * masks[k])
+    smin, smax, lsm, recip = cfg
+    idx, _ = F.build_index_dec(scales_r, smin, smax, lsm, recip, None)
+    packed = (F.fold_quarters(y_q).astype(jnp.int16) << 8) \
+        + idx.astype(jnp.int16)
+    so_far = y_hat_k if y_hat_so_far is None else y_hat_so_far + y_hat_k
+    return packed, so_far
 
 
-def _stage_dec_restore(y_q_r, means, k):
+def _stage_enc_pass0(y, q_enc, scales, means, cfg):
+    y_s = y * q_enc
+    packed, so_far = _stage_enc_pass(y_s, scales, means, None, 0, cfg)
+    return y_s, packed, so_far
+
+
+def _stage_dec_restore(y_q_r, means, y_hat_so_far, k):
     _, h, w, c = means.shape
     masks = F.checkerboard_masks_4x(h, w, c, means.dtype)
-    return F.restore_y_4x(y_q_r, means, masks[k])
+    y_hat_k = F.restore_y_4x(y_q_r, means, masks[k])
+    return y_hat_k if y_hat_so_far is None else y_hat_so_far + y_hat_k
 
 
 def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
@@ -191,9 +207,10 @@ class DMCIFM:
         self._j_spatial = jax.jit(_stage_spatial, static_argnums=(1,))
         self._j_fold_index = jax.jit(_stage_fold_index,
                                      static_argnums=(1, 2))
-        self._j_enc_mask = jax.jit(_stage_enc_mask, static_argnums=(3,))
+        self._j_enc_pass0 = jax.jit(_stage_enc_pass0, static_argnums=(4,))
+        self._j_enc_pass = jax.jit(_stage_enc_pass, static_argnums=(4, 5))
         self._j_dec_restore = jax.jit(_stage_dec_restore,
-                                      static_argnums=(2,))
+                                      static_argnums=(3,))
         self._j_recon = jax.jit(_stage_recon)
 
     def init_params(self, seed=0):
@@ -225,17 +242,15 @@ class DMCIFM:
         y_h, y_w = y.shape[1], y.shape[2]
         q_enc, q_dec_p, scales, means, reduced = self._j_prior(p, z_hat,
                                                                y_h, y_w)
-        y = y * q_enc
-        packed, y_hat_so_far = [], None
-        for k in range(4):
-            if k > 0:
-                scales, means = self._j_spatial(p, k, y_hat_so_far, reduced)
-            idx = self._j_fold_index(scales, k, self._cfg)
-            y_q_f, y_hat_k = self._j_enc_mask(y, scales, means, k)
-            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
-            pk = (np.asarray(y_q_f, np.int16) << 8) | \
-                np.asarray(idx).astype(np.int16)
-            packed.append(pk.reshape(-1))
+        y_s, pk0, so_far = self._j_enc_pass0(y, q_enc, scales, means,
+                                             self._cfg)
+        packed = [np.asarray(pk0).reshape(-1)]
+        for k in range(1, 4):
+            scales, means = self._j_spatial(p, k, so_far, reduced)
+            pk, so_far = self._j_enc_pass(y_s, scales, means, so_far, k,
+                                          self._cfg)
+            packed.append(np.asarray(pk).reshape(-1))
+        y_hat_so_far = so_far
 
         x_hat = self._j_recon(p, y_hat_so_far, q_dec_p, qp)
 
@@ -265,9 +280,8 @@ class DMCIFM:
             idx = self._j_fold_index(scales, k, self._cfg)
             self.gaussian_encoder.decode_y(np.asarray(idx))
             y_q_r = self.gaussian_encoder.get_y(idx.shape)
-            y_hat_k = self._j_dec_restore(jnp.asarray(y_q_r, self.dtype),
-                                          means, k)
-            y_hat_so_far = y_hat_k if k == 0 else y_hat_so_far + y_hat_k
+            y_hat_so_far = self._j_dec_restore(
+                jnp.asarray(y_q_r, self.dtype), means, y_hat_so_far, k)
 
         x_hat = self._j_recon(p, y_hat_so_far, q_dec_p, qp)
         return {"x_hat": x_hat}

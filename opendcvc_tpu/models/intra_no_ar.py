@@ -133,6 +133,10 @@ class IntraNoAR:
                      self.gaussian_encoder.SCALE_MAX,
                      float(np.log(self.gaussian_encoder.SCALE_MIN)),
                      self.gaussian_encoder.log_step_recip)
+        if getattr(self, "_stages", None) is None:
+            from .prior_stages import make_pass_stages
+            self._stages = make_pass_stages(self._cfg, 2)
+            self._one = jnp.ones((), self.dtype)
 
     def get_q_scales(self):
         return np.asarray(self.params["q_scale"]).reshape(-1)
@@ -146,25 +150,24 @@ class IntraNoAR:
         p = self.params
         x = jnp.asarray(x, self.dtype)
         q = self._q(q_scale)
+        st = self._stages
         y, z_hat, z_int8 = self._j_enc_front(p, x, q)
         q_step, scales, means = self._j_prior(p, z_hat)
-        y = y / q_step
-
-        idx0 = self._j_fold_index(scales, 0, self._cfg)
-        y_q_f0, y_hat_0 = self._j_enc_mask(y, scales, means, 0)
+        y_div, packed0, y_hat_0 = st["enc_pass0_qstep"](y, q_step, scales,
+                                                        means)
         scales1, means1 = self._j_spatial(p, y_hat_0, means, scales, q_step)
-        idx1 = self._j_fold_index(scales1, 1, self._cfg)
-        y_q_f1, y_hat_1 = self._j_enc_mask(y, scales1, means1, 1)
-        y_hat = (y_hat_0 + y_hat_1) * q_step
+        packed1, y_hat_1 = st["enc_pass_k"](y_div, scales1, means1, None, 1)
+        y_hat = st["finalize_qstep"](y_hat_0, y_hat_1, q_step,
+                                     self._one)
 
         x_hat = self._j_recon(p, y_hat, q)
 
         self.entropy_coder.reset()
         self.bit_estimator_z.encode_z(np.asarray(z_int8).reshape(-1), 0)
-        for y_q_f, idx in ((y_q_f0, idx0), (y_q_f1, idx1)):
-            pk = (np.asarray(y_q_f, np.int16) << 8) | \
-                np.asarray(idx).astype(np.int16)
-            self.gaussian_encoder.encode_y_packed(pk.reshape(-1))
+        self.gaussian_encoder.encode_y_packed(
+            np.asarray(packed0).reshape(-1))
+        self.gaussian_encoder.encode_y_packed(
+            np.asarray(packed1).reshape(-1))
         self.entropy_coder.flush()
         return {"bit_stream": self.entropy_coder.get_encoded_stream(),
                 "x_hat": x_hat}
@@ -178,18 +181,20 @@ class IntraNoAR:
         z_hat = jnp.asarray(self.bit_estimator_z.get_z(z_size), self.dtype)
         q_step, scales, means = self._j_prior(p, z_hat)
 
-        idx0 = self._j_fold_index(scales, 0, self._cfg)
+        st = self._stages
+        idx0 = st["dec_index_k"](scales, 0)
         self.gaussian_encoder.decode_y(np.asarray(idx0))
         y_q_r0 = self.gaussian_encoder.get_y(idx0.shape)
-        y_hat_0 = self._j_dec_restore(jnp.asarray(y_q_r0, self.dtype),
-                                      means, 0)
+        y_hat_0 = st["dec_restore_acc"](jnp.asarray(y_q_r0, self.dtype),
+                                        means, None, 0)
         scales1, means1 = self._j_spatial(p, y_hat_0, means, scales, q_step)
-        idx1 = self._j_fold_index(scales1, 1, self._cfg)
+        idx1 = st["dec_index_k"](scales1, 1)
         self.gaussian_encoder.decode_y(np.asarray(idx1))
         y_q_r1 = self.gaussian_encoder.get_y(idx1.shape)
-        y_hat_1 = self._j_dec_restore(jnp.asarray(y_q_r1, self.dtype),
-                                      means1, 1)
-        y_hat = (y_hat_0 + y_hat_1) * q_step
+        y_hat_1 = st["dec_restore_acc"](jnp.asarray(y_q_r1, self.dtype),
+                                        means1, None, 1)
+        y_hat = st["finalize_qstep"](y_hat_0, y_hat_1, q_step,
+                                     self._one)
 
         x_hat = self._j_recon(p, y_hat, q)
         return {"x_hat": x_hat}
