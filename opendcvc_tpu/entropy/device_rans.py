@@ -158,6 +158,90 @@ class DeviceRansEncoder:
 
 
 # ---------------------------------------------------------------------------
+# device decoder (lax.scan, binary search over full-range rows)
+# ---------------------------------------------------------------------------
+
+def _decode_scan(data, states, rows, cum_tab, K):
+    """data: (L, MB) uint8 lane byte streams in decode order;
+    states: (L,) uint32 initial states; rows: (L, K) int32 row ids in
+    decode (original) order; cum_tab: (n, 257) int32.
+    Returns (L, K) int32 symbols in [-128, 127]."""
+    L = data.shape[0]
+    mb = data.shape[1]
+    lane_ids = jnp.arange(L)
+
+    def body(carry, t):
+        state, ptr = carry
+        r = rows[:, t]
+        f = (state & 0xFFFF).astype(jnp.int32)
+        # binary search: largest s in [0,255] with cum[r, s] <= f
+        lo = jnp.zeros((L,), jnp.int32)
+        hi = jnp.full((L,), 256, jnp.int32)
+        for _ in range(8):
+            mid = (lo + hi + 1) >> 1
+            cm = cum_tab[r, mid]
+            go = cm <= f
+            lo = jnp.where(go, mid, lo)
+            hi = jnp.where(go, hi, mid - 1)
+        sym = lo
+        start = cum_tab[r, sym].astype(jnp.uint32)
+        freq = (cum_tab[r, sym + 1] - cum_tab[r, sym]).astype(jnp.uint32)
+        state = freq * (state >> 16) + f.astype(jnp.uint32) - start
+        for _ in range(3):
+            need = state < (1 << 23)
+            byte = data[lane_ids, jnp.minimum(ptr, mb - 1)]
+            state = jnp.where(need,
+                              (state << 8) | byte.astype(jnp.uint32),
+                              state)
+            ptr = ptr + need.astype(jnp.int32)
+        return (state, ptr), sym - 128
+
+    init = (states.astype(jnp.uint32), jnp.zeros((L,), jnp.int32))
+    _, out = lax.scan(body, init, jnp.arange(K))
+    return out.T  # (L, K)
+
+
+class DeviceRansDecoder:
+    """Device-side lane decoder: upload the (padded) lane byte streams
+    once, then decode entirely on the device — the decoded symbols stay
+    on-device for the following restore stages."""
+
+    def __init__(self):
+        self.cum = None
+        self._decode = jax.jit(_decode_scan, static_argnums=(4,))
+
+    def set_tables(self, y_rows, z_rows):
+        table = np.concatenate([y_rows, z_rows], axis=0)
+        self.cum = jnp.asarray(table, jnp.int32)
+
+    def parse(self, stream):
+        """Host-side container parse -> padded numpy arrays ready for one
+        H2D upload: (data (L,MB) uint8, states (L,) uint32, n, K)."""
+        off = 0
+        n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+        L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+        K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+        lane_data = []
+        states = np.zeros(L, np.uint32)
+        for l in range(L):
+            ln = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+            states[l] = np.frombuffer(stream, np.uint32, 1, off)[0]
+            off += 4
+            lane_data.append(np.frombuffer(stream, np.uint8, ln, off))
+            off += ln
+        mb = max((d.size for d in lane_data), default=0) + 1
+        data = np.zeros((L, mb), np.uint8)
+        for l, d in enumerate(lane_data):
+            data[l, :d.size] = d
+        return data, states, n, K
+
+    def decode(self, data_dev, states_dev, rows_lanes, K):
+        """rows_lanes: (L, K) int32 device array of row ids in original
+        symbol order.  Returns (L, K) int32 device symbols."""
+        return self._decode(data_dev, states_dev, rows_lanes, self.cum, K)
+
+
+# ---------------------------------------------------------------------------
 # host decoder (vectorized across lanes; reference implementation)
 # ---------------------------------------------------------------------------
 

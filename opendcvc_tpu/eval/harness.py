@@ -160,7 +160,69 @@ def get_distortion(args, x_hat, y, u, v, rgb):
     return [psnr], [msssim]
 
 
+@functools.lru_cache(maxsize=None)
+def _estimate_fwd_fns():
+    from ..training.forward import dmci_forward, dmc_forward_one_frame
+    j_i = jax.jit(lambda p, x, qp, r: dmci_forward(p, x, qp, r, "ste"))
+    j_p0 = jax.jit(lambda p, x, rf, qp, r: dmc_forward_one_frame(
+        p, x, rf, None, qp, r, "ste"))
+    j_p = jax.jit(lambda p, x, feat, qp, r: dmc_forward_one_frame(
+        p, x, None, feat, qp, r, "ste"))
+    return j_i, j_p0, j_p
+
+
+def run_one_point_estimation(p_frame_net, i_frame_net, args):
+    """--write_stream 0 path: analytic bit estimates instead of real rANS
+    streams (reference test_video.py's estimate mode; READMEs state the
+    two agree within ~0.5% at 1080p for trained models)."""
+    j_i, j_p0, j_p = _estimate_fwd_fns()
+    frame_num = args['frame_num']
+    intra_period = args['intra_period']
+    pic_h, pic_w = args['src_height'], args['src_width']
+    padding_r, padding_b = CM.get_padding_size(pic_h, pic_w, 16)
+    n_pix = pic_h * pic_w
+    src_reader = get_src_reader(args)
+    rng = jax.random.PRNGKey(0)
+
+    frame_types, psnrs, msssims, bits = [], [], [], []
+    start_time = time.time()
+    feature = None
+    ref_frame = None
+    for frame_idx in range(frame_num):
+        x, y, u, v, rgb = get_src_frame(args, src_reader,
+                                        (padding_b, padding_r))
+        is_i = (frame_idx == 0
+                or (intra_period > 0 and frame_idx % intra_period == 0))
+        rng, sub = jax.random.split(rng)
+        if is_i:
+            out = j_i(i_frame_net.params, x, np.int32(args['qp_i']), sub)
+            ref_frame, feature = out['x_hat'], None
+            frame_types.append(0)
+        else:
+            qp = np.int32(args['qp_p'])
+            if feature is None:
+                out = j_p0(p_frame_net.params, x, ref_frame, qp, sub)
+            else:
+                out = j_p(p_frame_net.params, x, feature, qp, sub)
+            ref_frame, feature = out['x_hat'], out['feature']
+            frame_types.append(1)
+        bits.append(float(out['bpp']) * x.shape[1] * x.shape[2])
+        cp, cs = get_distortion(args, out['x_hat'], y, u, v, rgb)
+        psnrs.append(cp)
+        msssims.append(cs)
+    src_reader.close()
+    log_result = generate_log_json(frame_num, n_pix,
+                                   time.time() - start_time, frame_types,
+                                   bits, psnrs, msssims,
+                                   verbose=args['verbose_json'])
+    with open(args['curr_json_path'], 'w') as fp:
+        json.dump(log_result, fp, indent=2)
+    return log_result
+
+
 def run_one_point_with_stream(p_frame_net, i_frame_net, args):
+    if not args.get('write_stream', True):
+        return run_one_point_estimation(p_frame_net, i_frame_net, args)
     if args['check_existing'] and os.path.exists(args['curr_json_path']) \
             and os.path.exists(args['curr_bin_path']):
         with open(args['curr_json_path']) as f:

@@ -18,7 +18,7 @@ class Vimeo90kSeptupletDataset:
     with a list file of '<a>/<b>' entries."""
 
     def __init__(self, root, list_file, frames_per_sample=2, crop=256,
-                 rng=None):
+                 rng=None, use_precomputed_refs=False):
         self.root = root
         self.seq_dir = os.path.join(root, "sequences")
         with open(list_file) as f:
@@ -26,6 +26,10 @@ class Vimeo90kSeptupletDataset:
         self.frames_per_sample = frames_per_sample
         self.crop = crop
         self.rng = rng or np.random.default_rng(0)
+        # substitute the frozen-I-codec reconstruction (ref.png written
+        # by training.preprocessing) for the first frame, mirroring the
+        # reference's precomputed-reference training variant
+        self.use_precomputed_refs = use_precomputed_refs
 
     def __len__(self):
         return len(self.samples)
@@ -40,6 +44,11 @@ class Vimeo90kSeptupletDataset:
         t = self.frames_per_sample
         start = int(self.rng.integers(1, 8 - t + 1))
         frames = [self._load_frame(seq, start + i) for i in range(t)]
+        if self.use_precomputed_refs and start == 1:
+            ref_path = os.path.join(self.seq_dir, seq, "ref.png")
+            if os.path.exists(ref_path):
+                img = Image.open(ref_path).convert("RGB")
+                frames[0] = np.asarray(img, dtype=np.float32) / 255.0
         h, w, _ = frames[0].shape
         c = self.crop
         y0 = int(self.rng.integers(0, max(h - c, 0) + 1))

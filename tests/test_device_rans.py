@@ -49,6 +49,37 @@ def test_device_encode_host_decode(tables, n, lanes):
     np.testing.assert_array_equal(decoded, sym)
 
 
+def test_device_decode_matches(tables):
+    """Device lane decoder reproduces the encoded symbols on-device."""
+    import jax.numpy as jnp2
+    from opendcvc_tpu.entropy.device_rans import DeviceRansDecoder
+    rows_tab = tables
+    rng = np.random.default_rng(5)
+    n, lanes = 2000, 32
+    sym = rng.integers(-30, 31, n).astype(np.int32)
+    row_ids = rng.integers(0, 16, n).astype(np.int32)
+
+    enc = DeviceRansEncoder(lanes=lanes, bytes_per_symbol=3.0)
+    enc.set_tables(rows_tab, rows_tab[:1])
+    sym_l, row_l = enc.encode_jit_args(jnp.asarray(sym),
+                                       jnp.asarray(row_ids))
+    buf, lens, states = enc.encode(sym_l, row_l)
+    stream = enc.serialize(np.asarray(buf), np.asarray(lens),
+                           np.asarray(states), n)
+
+    dec = DeviceRansDecoder()
+    dec.set_tables(rows_tab, rows_tab[:1])
+    data, st, n2, K = dec.parse(stream)
+    assert n2 == n
+    pad = lanes * K - n
+    rows_dec = np.concatenate([row_ids,
+                               np.zeros(pad, np.int32)]).reshape(lanes, K)
+    out = dec.decode(jnp2.asarray(data), jnp2.asarray(st),
+                     jnp2.asarray(rows_dec), K)
+    decoded = np.asarray(out).reshape(-1)[:n]
+    np.testing.assert_array_equal(decoded, sym)
+
+
 def test_dmc_device_ec_stream():
     os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
     try:

@@ -46,6 +46,12 @@ def parse_args():
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--quant_mode", choices=["ste", "noise"], default="ste")
+    p.add_argument("--amp", type=lambda v: str(v).lower() in
+                   ("1", "true", "yes"), default=False,
+                   help="bf16 forward/backward with f32 master weights")
+    p.add_argument("--use_precomputed_refs", type=lambda v: str(v).lower()
+                   in ("1", "true", "yes"), default=False,
+                   help="substitute ref.png (from preprocessing) for im1")
     p.add_argument("--qp_min", type=int, default=0)
     p.add_argument("--qp_max", type=int, default=63)
     p.add_argument("--resume", type=str, default=None)
@@ -102,7 +108,10 @@ def main():
             start_step = int(payload["extra"]["step"])
         print(f"resumed from {args.resume} at step {start_step}")
 
-    step_fn = make_train_step(loss_fn, tx, mesh=mesh, donate=True)
+    import jax.numpy as jnp_
+    step_fn = make_train_step(
+        loss_fn, tx, mesh=mesh, donate=True,
+        compute_dtype=jnp_.bfloat16 if args.amp else None)
 
     if args.dataset_root:
         ds = Vimeo90kSeptupletDataset(
@@ -110,7 +119,8 @@ def main():
             args.list_file or os.path.join(args.dataset_root,
                                            "sep_trainlist.txt"),
             frames_per_sample=args.frames, crop=args.crop,
-            rng=np.random.default_rng(args.seed))
+            rng=np.random.default_rng(args.seed),
+            use_precomputed_refs=args.use_precomputed_refs)
     else:
         print("no dataset_root given: training on synthetic data")
         ds = SyntheticVideoDataset(frames_per_sample=args.frames,
