@@ -109,6 +109,32 @@ def main():
         print(f"# platform={platform} dtype={dtype_name} "
               f"frames={n_frames} {height}x{width} "
               f"avg={avg * 1000:.2f}ms bpp={bpp:.4f}")
+        if os.environ.get("BENCH_DECODE"):
+            # decode throughput on the same streams
+            streams = []
+            p_net.clear_dpb()
+            p_net.set_curr_poc(0)
+            p_net.add_ref_frame(None, enc0["x_hat"])
+            for x in frames:
+                streams.append(p_net.compress(x, 21)["bit_stream"])
+            d_net = DMC(dtype=dtype)
+            d_net.load_params(p_net.params)
+            d_net.update()
+            d_net.set_use_two_entropy_coders(use_two)
+            d_net.clear_dpb()
+            d_net.set_curr_poc(0)
+            d_net.add_ref_frame(None, enc0["x_hat"])
+            sps = {"sps_id": 0, "height": height, "width": width,
+                   "ec_part": 1 if use_two else 0, "use_ada_i": 0}
+            d_net.decompress(streams[0], sps, 21)["x_hat"] \
+                 .block_until_ready()  # warm decode graphs
+            t0 = time.perf_counter()
+            for s in streams[1:]:
+                out = d_net.decompress(s, sps, 21)
+            out["x_hat"].block_until_ready()
+            d_avg = (time.perf_counter() - t0) / max(len(streams) - 1, 1)
+            print(f"# decode avg={d_avg * 1000:.2f}ms "
+                  f"({1.0 / d_avg:.2f} fps)")
 
 
 if __name__ == "__main__":

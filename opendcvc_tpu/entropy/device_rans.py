@@ -229,7 +229,10 @@ class DeviceRansDecoder:
             off += 4
             lane_data.append(np.frombuffer(stream, np.uint8, ln, off))
             off += ln
+        # bucket the padded width so the decode scan compiles once per
+        # bucket, not once per frame
         mb = max((d.size for d in lane_data), default=0) + 1
+        mb = -(-mb // 256) * 256
         data = np.zeros((L, mb), np.uint8)
         for l, d in enumerate(lane_data):
             data[l, :d.size] = d

@@ -296,24 +296,47 @@ def _stage_pack_all(z_int8, packed0, packed1):
                             packed0.reshape(-1), packed1.reshape(-1)])
 
 
-def _stage_lane_symbols(z_int8, packed0, packed1, qp, n_y_rows, lanes):
-    """Device-EC path: unpack the symbol planes into (symbol, cdf-row)
-    sequences — z rows live after the gaussian rows at
-    n_y_rows + qp*C + channel — and lay them out into rANS lanes."""
-    z_sym = z_int8.reshape(-1).astype(jnp.int32)
-    nz = z_sym.shape[0]
-    c = z_int8.shape[-1]
-    z_rows = n_y_rows + qp * c + (jnp.arange(nz) % c)
-    y0 = packed0.reshape(-1).astype(jnp.int32)
-    y1 = packed1.reshape(-1).astype(jnp.int32)
-    sym = jnp.concatenate([z_sym, y0 >> 8, y1 >> 8])
-    rows = jnp.concatenate([z_rows, y0 & 255, y1 & 255])
+def _lane_layout(sym, rows, lanes, reverse):
     n = sym.shape[0]
     k = -(-n // lanes)
     pad = lanes * k - n
     sym = jnp.concatenate([sym, jnp.zeros((pad,), sym.dtype)])
     rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
-    return sym.reshape(lanes, k)[:, ::-1], rows.reshape(lanes, k)[:, ::-1]
+    sym = sym.reshape(lanes, k)
+    rows = rows.reshape(lanes, k)
+    if reverse:  # rANS encodes last-symbol-first within each lane
+        sym = sym[:, ::-1]
+        rows = rows[:, ::-1]
+    return sym, rows
+
+
+def _z_rows(nz, c, qp, n_y_rows):
+    return n_y_rows + qp * c + (jnp.arange(nz) % c)
+
+
+def _stage_lane_z(z_int8, qp, n_y_rows, lanes):
+    """Device-EC: z plane -> encode-order lanes."""
+    z_sym = z_int8.reshape(-1).astype(jnp.int32)
+    rows = _z_rows(z_sym.shape[0], z_int8.shape[-1], qp, n_y_rows)
+    return _lane_layout(z_sym, rows, lanes, True)
+
+
+def _stage_lane_y(packed, lanes):
+    """Device-EC: packed y plane (sym<<8|idx) -> encode-order lanes."""
+    pk = packed.reshape(-1).astype(jnp.int32)
+    return _lane_layout(pk >> 8, pk & 255, lanes, True)
+
+
+def _stage_rows_z_dec(zh, zw, c, qp, n_y_rows, lanes):
+    rows = _z_rows(zh * zw * c, c, qp, n_y_rows)
+    return _lane_layout(rows, rows, lanes, False)[0]
+
+
+def _stage_rows_idx_dec(indexes, lanes):
+    rows = indexes.reshape(-1).astype(jnp.int32)
+    return _lane_layout(rows, rows, lanes, False)[0]
+
+
 
 
 def _stage_feature(p, y_hat, ctx, qp):
@@ -390,12 +413,22 @@ class DMC:
         self._j_feature_out = jax.jit(_stage_feature_out)
         self._j_recon_x = jax.jit(_stage_recon_x)
         self._j_pack_all = jax.jit(_stage_pack_all)
-        self._j_lane_symbols = jax.jit(_stage_lane_symbols,
-                                       static_argnums=(4, 5))
+        self._j_lane_z = jax.jit(_stage_lane_z, static_argnums=(2, 3))
+        self._j_lane_y = jax.jit(_stage_lane_y, static_argnums=(1,))
+        self._j_rows_z = jax.jit(_stage_rows_z_dec,
+                                 static_argnums=(0, 1, 2, 4, 5))
+        self._j_rows_idx = jax.jit(_stage_rows_idx_dec,
+                                   static_argnums=(1,))
+        dt = dtype
+        self._j_plane_from = jax.jit(
+            lambda s, h, w, c: s.reshape(-1)[: h * w * c]
+            .reshape(1, h, w, c).astype(dt), static_argnums=(1, 2, 3))
         # device-side entropy coding (tpu-lane v2 format): opt-in
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")
         self.device_encoder = None
+        self.device_decoder = None
+        self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
 
     # -- setup ---------------------------------------------------------------
 
@@ -422,14 +455,17 @@ class DMC:
                                     self.entropy_coder)
         if self.device_ec:
             from ..entropy.device_rans import (DeviceRansEncoder,
+                                               DeviceRansDecoder,
                                                full_range_cdf_rows)
             self.device_encoder = DeviceRansEncoder(
-                lanes=int(os.environ.get("OPENDCVC_TPU_EC_LANES", 512)),
+                lanes=int(os.environ.get("OPENDCVC_TPU_EC_LANES", 4096)),
                 bytes_per_symbol=float(
                     os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5)))
             y_rows = full_range_cdf_rows(*self.gaussian_encoder.cdf_info)
             z_rows = full_range_cdf_rows(*self.bit_estimator_z.cdf_info)
             self.device_encoder.set_tables(y_rows, z_rows)
+            self.device_decoder = DeviceRansDecoder()
+            self.device_decoder.set_tables(y_rows, z_rows)
 
     def set_use_two_entropy_coders(self, b):
         self.entropy_coder.set_use_two_entropy_coders(b)
@@ -507,33 +543,44 @@ class DMC:
         n_z = int(np.prod(z_int8.shape))
         n_y = int(np.prod(packed0.shape))
         if self.device_ec and fz is None:
-            # device-side rANS: only compressed bytes cross D2H
-            n_total = n_z + 2 * n_y
-            sym_l, row_l = self._j_lane_symbols(
-                z_int8, packed0, packed1, qp_dev,
-                self.device_encoder.n_y_rows, self.device_encoder.lanes)
-            buf, lens, states = self.device_encoder.encode(sym_l, row_l)
-            for a in (buf, lens, states):
-                try:
-                    a.copy_to_host_async()
-                except Exception:
-                    pass
+            # device-side rANS, one segment per plane (z, y0, y1) so the
+            # decoder can also run on-device pass by pass; only
+            # compressed bytes cross D2H
+            enc = self.device_encoder
+            segs = []
+            sym_l, row_l = self._j_lane_z(z_int8, qp_dev, enc.n_y_rows,
+                                          self.z_lanes)
+            segs.append((sym_l, row_l, n_z))
+            for pk in (packed0, packed1):
+                sym_l, row_l = self._j_lane_y(pk, enc.lanes)
+                segs.append((sym_l, row_l, n_y))
+            outs = [enc.encode(s, r) for s, r, _ in segs]
+            for trio in outs:
+                for a in trio:
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
             self.add_ref_frame(feature_out, None)
 
             def finish_device():
-                b, ln, st = jax.device_get([buf, lens, states])
-                bps = self.device_encoder.bytes_per_symbol
-                while True:
-                    try:
-                        return self.device_encoder.serialize(b, ln, st,
-                                                             n_total)
-                    except OverflowError:
-                        # rare hard frame: re-encode with a larger lane
-                        # buffer (format is unchanged, only the staging
-                        # buffer grows)
-                        bps = min(bps * 2, 3.0)
-                        b, ln, st = jax.device_get(list(
-                            self.device_encoder.encode(sym_l, row_l, bps)))
+                flat = jax.device_get([a for trio in outs for a in trio])
+                parts = []
+                for i, (sym_l, row_l, n) in enumerate(segs):
+                    b, ln, st = flat[3 * i:3 * i + 3]
+                    bps = enc.bytes_per_symbol
+                    while True:
+                        try:
+                            parts.append(enc.serialize(b, ln, st, n))
+                            break
+                        except OverflowError:
+                            bps = min(bps * 2, 3.0)
+                            b, ln, st = jax.device_get(list(
+                                enc.encode(sym_l, row_l, bps)))
+                head = np.uint8(len(parts)).tobytes()
+                body = b"".join(np.uint32(len(p)).tobytes() + p
+                                for p in parts)
+                return head + body
 
             return finish_device
 
@@ -575,9 +622,62 @@ class DMC:
 
     # -- decompress ----------------------------------------------------------
 
+    def _decompress_device(self, bit_stream, sps, qp):
+        """Device-EC decode: one H2D of the compressed segments; the lane
+        decoder + all restore passes run on-device (no per-pass symbol
+        transfers)."""
+        p = self.params
+        qp_dev = np.int32(qp)
+        dec = self.device_decoder
+
+        off = 0
+        n_seg = bit_stream[0]
+        off = 1
+        segs = []
+        for _ in range(n_seg):
+            ln = int(np.frombuffer(bit_stream, np.uint32, 1, off)[0])
+            off += 4
+            data, states, n, K = dec.parse(bit_stream[off:off + ln])
+            off += ln
+            segs.append((jnp.asarray(data), jnp.asarray(states), n, K))
+
+        zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        feature = self.apply_feature_adaptor()
+        x1, ctx_t = self._j_fe_part1(p, feature, qp_dev)
+
+        rows_z = self._j_rows_z(zh, zw, G_CH_Z, qp_dev,
+                                self.device_encoder.n_y_rows, self.z_lanes)
+        z_syms = dec.decode(segs[0][0], segs[0][1], rows_z, segs[0][3])
+        z_hat = self._j_plane_from(z_syms, zh, zw, G_CH_Z)
+        params_prior = self._j_prior(p, z_hat, ctx_t)
+
+        idx0, _ = self._j_dec_index0(params_prior, None)
+        ctx = self._j_fe_part2(p, x1)
+        _, ih, iw, ic = idx0.shape
+        lanes = self.device_encoder.lanes
+        rows0 = self._j_rows_idx(idx0, lanes)
+        y0_syms = dec.decode(segs[1][0], segs[1][1], rows0, segs[1][3])
+        y_q_r0 = self._j_plane_from(y0_syms, ih, iw, ic)
+        y_hat_0 = self._j_dec_restore(y_q_r0, params_prior, 0, True)
+
+        scales1, means1 = self._j_spatial(p, y_hat_0, params_prior)
+        idx1, _ = self._j_fold_index(scales1, 1, None)
+        rows1 = self._j_rows_idx(idx1, lanes)
+        y1_syms = dec.decode(segs[2][0], segs[2][1], rows1, segs[2][3])
+        y_q_r1 = self._j_plane_from(y1_syms, ih, iw, ic)
+        y_hat_1 = self._j_dec_restore(y_q_r1, means1, 1, False)
+
+        feature_out = self._j_feature_out(p, y_hat_0, y_hat_1,
+                                          params_prior, ctx, qp_dev)
+        x_hat = self._j_recon_x(p, feature_out, qp_dev)
+        self.add_ref_frame(feature_out, x_hat)
+        return {"x_hat": x_hat}
+
     def decompress(self, bit_stream, sps, qp):
         p = self.params
         fz = self.force_zero_thres
+        if self.device_ec and fz is None:
+            return self._decompress_device(bit_stream, sps, qp)
         qp_dev = np.int32(qp)
 
         self.entropy_coder.set_use_two_entropy_coders(sps["ec_part"] == 1)

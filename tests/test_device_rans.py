@@ -80,20 +80,44 @@ def test_device_decode_matches(tables):
     np.testing.assert_array_equal(decoded, sym)
 
 
-def test_dmc_device_ec_stream():
-    os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
-    try:
-        from opendcvc_tpu.models.dmc import DMC
-        net = DMC()
-        assert net.device_ec
-        net.init_params(seed=0)
-        net.update()
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
-        net.clear_dpb()
-        net.set_curr_poc(0)
-        net.add_ref_frame(None, x)
-        out = net.compress(x, 21)
-        assert len(out["bit_stream"]) > 0
-    finally:
-        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+def test_dmc_device_ec_roundtrip_matches_classic():
+    """Device-EC compress+decompress must reproduce exactly the frames
+    the classic host-rANS path produces (same symbols, different
+    container)."""
+    from opendcvc_tpu.models.dmc import DMC
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    x1 = jnp.asarray(np.clip(np.asarray(x0)
+                             + rng.normal(0, 0.02, (1, 64, 64, 3))
+                             .astype(np.float32), 0, 1))
+
+    def run(device_ec):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
+        try:
+            enc = DMC()
+            enc.init_params(seed=0)
+            enc.update()
+            enc.clear_dpb()
+            enc.set_curr_poc(0)
+            enc.add_ref_frame(None, x0)
+            s1 = enc.compress(x1, 21)["bit_stream"]
+            s2 = enc.compress(x1, 25)["bit_stream"]
+
+            dec = DMC()
+            dec.load_params(enc.params)
+            dec.update()
+            dec.clear_dpb()
+            dec.set_curr_poc(0)
+            dec.add_ref_frame(None, x0)
+            sps = {"sps_id": 0, "height": 64, "width": 64, "ec_part": 0,
+                   "use_ada_i": 0}
+            r1 = dec.decompress(s1, sps, 21)["x_hat"]
+            r2 = dec.decompress(s2, sps, 25)["x_hat"]
+            return np.asarray(r1), np.asarray(r2)
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
+    d1, d2 = run(True)
+    c1, c2 = run(False)
+    np.testing.assert_array_equal(d1, c1)
+    np.testing.assert_array_equal(d2, c2)
