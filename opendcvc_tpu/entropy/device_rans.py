@@ -158,6 +158,99 @@ class DeviceRansEncoder:
 
 
 # ---------------------------------------------------------------------------
+# frame container (v3): all segments in one buffer, vectorized host side,
+# device-side unpacking — one H2D per frame on decode
+# ---------------------------------------------------------------------------
+
+def serialize_frame(segments):
+    """segments: list of (buf_np (L,MB) uint8, lens_np (L,), states_np
+    (L,), n_symbols, K).  Layout:
+      u8 n_seg | per seg: u32 n, u16 L, u16 K, u32 data_len |
+      lens_all u16 | states_all u32 | data (lane-major, decode order)
+    Raises OverflowError if any lane hit its staging buffer."""
+    head = [np.uint8(len(segments)).tobytes()]
+    lens_parts, states_parts, data_parts = [], [], []
+    for buf, lens, states, n, K in segments:
+        L, MB = buf.shape
+        if int(lens.max(initial=0)) >= MB - 4:
+            raise OverflowError("device rANS lane buffer overflow")
+        lens16 = lens.astype(np.uint16)
+        # decode-order bytes per lane = reversed emitted prefix
+        buf_rev = buf[:, ::-1]
+        mask = np.arange(MB)[None, :] >= (MB - lens[:, None])
+        data = buf_rev[mask]  # 1D, lane-major
+        head.append(np.uint32(n).tobytes())
+        head.append(np.uint16(L).tobytes())
+        head.append(np.uint16(K).tobytes())
+        head.append(np.uint32(data.size).tobytes())
+        lens_parts.append(lens16.tobytes())
+        states_parts.append(states.astype(np.uint32).tobytes())
+        data_parts.append(data.tobytes())
+    return b"".join(head + lens_parts + states_parts + data_parts)
+
+
+def parse_frame(stream):
+    """Vectorized parse of the v3 container.  Returns (metas, stream_np):
+    metas carry static shape info plus the STATIC byte offsets of each
+    segment's lens/states tables and a per-frame data offset; stream_np
+    is the whole container (bucket-padded) for ONE device upload — the
+    device derives lens/states itself via byte gathers."""
+    n_seg = stream[0]
+    off = 1
+    metas = []
+    for _ in range(n_seg):
+        n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+        L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+        K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+        dlen = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+        metas.append({"n": n, "L": L, "K": K, "dlen": dlen})
+    for m in metas:
+        m["lens_off"] = off
+        lens = np.frombuffer(stream, np.uint16, m["L"], off)
+        m["MB"] = -(-(int(lens.max(initial=0)) + 1) // 256) * 256
+        off += 2 * m["L"]
+    for m in metas:
+        m["states_off"] = off
+        off += 4 * m["L"]
+    data_off = off
+    for m in metas:
+        m["data_off"] = data_off
+        data_off += m["dlen"]
+    buf = np.frombuffer(stream, np.uint8)
+    pad = -(-buf.size // 4096) * 4096 - buf.size
+    stream_np = np.concatenate([buf, np.zeros(pad, np.uint8)])
+    return metas, stream_np
+
+
+def _read_u16_vec(buf, off, n):
+    base = off + 2 * jnp.arange(n)
+    return buf[base].astype(jnp.int32) | \
+        (buf[base + 1].astype(jnp.int32) << 8)
+
+
+def _read_u32_vec(buf, off, n):
+    base = off + 4 * jnp.arange(n)
+    v = buf[base].astype(jnp.uint32)
+    v |= buf[base + 1].astype(jnp.uint32) << 8
+    v |= buf[base + 2].astype(jnp.uint32) << 16
+    v |= buf[base + 3].astype(jnp.uint32) << 24
+    return v
+
+
+def _unpack_segment(stream, lens_off, states_off, data_off, L, MB):
+    """jit: derive lens/states from the uploaded container and gather the
+    segment's lane bytes into (L, MB).  lens_off/states_off static;
+    data_off traced scalar."""
+    lens = _read_u16_vec(stream, lens_off, L)
+    states = _read_u32_vec(stream, states_off, L)
+    lane_off = data_off + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens)[:-1]])
+    idx = lane_off[:, None] + jnp.arange(MB)[None, :]
+    idx = jnp.clip(idx, 0, stream.shape[0] - 1)
+    return stream[idx], states
+
+
+# ---------------------------------------------------------------------------
 # device decoder (lax.scan, binary search over full-range rows)
 # ---------------------------------------------------------------------------
 
@@ -209,6 +302,17 @@ class DeviceRansDecoder:
     def __init__(self):
         self.cum = None
         self._decode = jax.jit(_decode_scan, static_argnums=(4,))
+        self._unpack = jax.jit(_unpack_segment,
+                               static_argnums=(1, 2, 4, 5))
+
+    def decode_segment(self, stream_dev, meta, rows_lanes):
+        """Unpack one segment from the single uploaded container and
+        lane-decode it on the device."""
+        data, states = self._unpack(stream_dev, meta["lens_off"],
+                                    meta["states_off"],
+                                    np.int32(meta["data_off"]), meta["L"],
+                                    meta["MB"])
+        return self._decode(data, states, rows_lanes, self.cum, meta["K"])
 
     def set_tables(self, y_rows, z_rows):
         table = np.concatenate([y_rows, z_rows], axis=0)

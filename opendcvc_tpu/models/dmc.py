@@ -564,23 +564,20 @@ class DMC:
             self.add_ref_frame(feature_out, None)
 
             def finish_device():
+                from ..entropy.device_rans import serialize_frame
                 flat = jax.device_get([a for trio in outs for a in trio])
-                parts = []
+                frame_segs = []
                 for i, (sym_l, row_l, n) in enumerate(segs):
                     b, ln, st = flat[3 * i:3 * i + 3]
+                    K = sym_l.shape[1]
                     bps = enc.bytes_per_symbol
-                    while True:
-                        try:
-                            parts.append(enc.serialize(b, ln, st, n))
-                            break
-                        except OverflowError:
-                            bps = min(bps * 2, 3.0)
-                            b, ln, st = jax.device_get(list(
-                                enc.encode(sym_l, row_l, bps)))
-                head = np.uint8(len(parts)).tobytes()
-                body = b"".join(np.uint32(len(p)).tobytes() + p
-                                for p in parts)
-                return head + body
+                    while int(ln.max(initial=0)) >= b.shape[1] - 4:
+                        # rare hard frame: grow the staging buffer
+                        bps = min(bps * 2, 3.0)
+                        b, ln, st = jax.device_get(list(
+                            enc.encode(sym_l, row_l, bps)))
+                    frame_segs.append((b, ln, st, n, K))
+                return serialize_frame(frame_segs)
 
             return finish_device
 
@@ -626,20 +623,13 @@ class DMC:
         """Device-EC decode: one H2D of the compressed segments; the lane
         decoder + all restore passes run on-device (no per-pass symbol
         transfers)."""
+        from ..entropy.device_rans import parse_frame
         p = self.params
         qp_dev = np.int32(qp)
         dec = self.device_decoder
 
-        off = 0
-        n_seg = bit_stream[0]
-        off = 1
-        segs = []
-        for _ in range(n_seg):
-            ln = int(np.frombuffer(bit_stream, np.uint32, 1, off)[0])
-            off += 4
-            data, states, n, K = dec.parse(bit_stream[off:off + ln])
-            off += ln
-            segs.append((jnp.asarray(data), jnp.asarray(states), n, K))
+        metas, stream_np = parse_frame(bit_stream)
+        stream_dev = jnp.asarray(stream_np)  # ONE upload per frame
 
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         feature = self.apply_feature_adaptor()
@@ -647,7 +637,7 @@ class DMC:
 
         rows_z = self._j_rows_z(zh, zw, G_CH_Z, qp_dev,
                                 self.device_encoder.n_y_rows, self.z_lanes)
-        z_syms = dec.decode(segs[0][0], segs[0][1], rows_z, segs[0][3])
+        z_syms = dec.decode_segment(stream_dev, metas[0], rows_z)
         z_hat = self._j_plane_from(z_syms, zh, zw, G_CH_Z)
         params_prior = self._j_prior(p, z_hat, ctx_t)
 
@@ -656,14 +646,14 @@ class DMC:
         _, ih, iw, ic = idx0.shape
         lanes = self.device_encoder.lanes
         rows0 = self._j_rows_idx(idx0, lanes)
-        y0_syms = dec.decode(segs[1][0], segs[1][1], rows0, segs[1][3])
+        y0_syms = dec.decode_segment(stream_dev, metas[1], rows0)
         y_q_r0 = self._j_plane_from(y0_syms, ih, iw, ic)
         y_hat_0 = self._j_dec_restore(y_q_r0, params_prior, 0, True)
 
         scales1, means1 = self._j_spatial(p, y_hat_0, params_prior)
         idx1, _ = self._j_fold_index(scales1, 1, None)
         rows1 = self._j_rows_idx(idx1, lanes)
-        y1_syms = dec.decode(segs[2][0], segs[2][1], rows1, segs[2][3])
+        y1_syms = dec.decode_segment(stream_dev, metas[2], rows1)
         y_q_r1 = self._j_plane_from(y1_syms, ih, iw, ic)
         y_hat_1 = self._j_dec_restore(y_q_r1, means1, 1, False)
 
