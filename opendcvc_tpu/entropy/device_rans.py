@@ -182,6 +182,10 @@ def serialize_frame(segments):
         head.append(np.uint32(n).tobytes())
         head.append(np.uint16(L).tobytes())
         head.append(np.uint16(K).tobytes())
+        # the encoder's static staging width: the decoder reuses it as
+        # its (static) gather width so decode graphs compile once per
+        # lane configuration, never per frame
+        head.append(np.uint16(MB).tobytes())
         head.append(np.uint32(data.size).tobytes())
         lens_parts.append(lens16.tobytes())
         states_parts.append(states.astype(np.uint32).tobytes())
@@ -202,12 +206,11 @@ def parse_frame(stream):
         n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
         L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
         K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+        mb = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
         dlen = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
-        metas.append({"n": n, "L": L, "K": K, "dlen": dlen})
+        metas.append({"n": n, "L": L, "K": K, "MB": mb, "dlen": dlen})
     for m in metas:
         m["lens_off"] = off
-        lens = np.frombuffer(stream, np.uint16, m["L"], off)
-        m["MB"] = -(-(int(lens.max(initial=0)) + 1) // 256) * 256
         off += 2 * m["L"]
     for m in metas:
         m["states_off"] = off
@@ -217,8 +220,12 @@ def parse_frame(stream):
         m["data_off"] = data_off
         data_off += m["dlen"]
     buf = np.frombuffer(stream, np.uint8)
-    pad = -(-buf.size // 4096) * 4096 - buf.size
-    stream_np = np.concatenate([buf, np.zeros(pad, np.uint8)])
+    # pad the upload to the STATIC capacity implied by the header (lane
+    # config + staging widths), so every decode graph is shape-stable
+    # across frames
+    capacity = off + sum(m["L"] * m["MB"] for m in metas)
+    stream_np = np.zeros(capacity, np.uint8)
+    stream_np[:buf.size] = buf
     return metas, stream_np
 
 
