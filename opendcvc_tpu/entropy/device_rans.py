@@ -7,14 +7,20 @@ independent rANS lanes advanced in lockstep by a `lax.scan` (the VPU
 processes all lanes per step), so only the compressed bytes (plus per-
 lane lengths and final states) cross device->host.
 
+Everything is built for the TPU's execution model: no per-element
+gathers or scatters anywhere — CDF rows come from one-hot matmuls on
+the MXU, symbol search and word fetch are masked reductions on the VPU,
+and renormalisation is 16-bit (state in [2^16, 2^32)) so each scan step
+moves at most ONE u16 per lane.
+
 Format ("tpu-lane" v2, self-contained, NOT the reference byte format):
   * symbols are coded against full-range 256-bin CDFs (no escape/bypass:
     every bin has frequency >= 1, precision 16) derived from the same
     probability models as the host tables;
   * the symbol sequence is split contiguously into L lanes, padded to
-    lane length K with (symbol 0, cdf row 0);
-  * serialized stream: u32 N | u16 L | u16 K | per lane: u16 len |
-    u32 state | len data bytes (in decode order).
+    lane length K with (symbol 0, cdf row 0 of the segment's subtable);
+  * serialized stream: u32 N | u16 L | u16 K | per lane: u16 len (u16
+    words) | u32 state | 2*len data bytes (words in decode order).
 
 A vectorized numpy decoder (all lanes in lockstep) provides the host
 decode path and the roundtrip tests; a native lane decoder can replace
@@ -65,34 +71,71 @@ def full_range_cdf_rows(cdfs, cdf_sizes, offsets):
 # device encoder
 # ---------------------------------------------------------------------------
 
-def _encode_scan(symbols, rows, starts_tab, freqs_tab, lanes, max_bytes):
-    """symbols: (L, K) int32 in [-128,127], reversed (last symbol first);
-    rows: (L, K) int32 cdf-row ids.  Returns (buf, lens, states)."""
-    L, K = symbols.shape
-    lane_ids = jnp.arange(L)
+def _row_cum_lookup(r_local, cum_sub):
+    """(L,) local row ids -> (L, 257) cumulative rows, gather-free.
 
-    def body(carry, t):
+    TPU gathers execute per element; a one-hot matmul runs on the MXU
+    instead.  cum values are <= 2^16 so f32 accumulation (one non-zero
+    term per output) is exact; precision HIGHEST keeps the MXU from
+    dropping to bf16."""
+    nr = cum_sub.shape[0]
+    onehot = (r_local[:, None] == jnp.arange(nr)[None, :]) \
+        .astype(jnp.float32)
+    return jnp.matmul(onehot, cum_sub, precision=lax.Precision.HIGHEST)
+
+
+def _encode_scan(symbols, rows, cum_sub, max_words):
+    """symbols: (L, K) int32 in [-128,127], reversed (last symbol first);
+    rows: (L, K) int32 LOCAL cdf-row ids into cum_sub ((nr, 257) f32).
+    Returns (buf (L, max_words) int32 of u16 words, lens, states).
+
+    rANS with 16-bit renormalisation: state in [2^16, 2^32), at most ONE
+    u16 emitted per symbol (freq >= 1 makes a second emission
+    impossible), which keeps the per-step work to one masked reduction.
+    Gather/scatter-free: table rows via one-hot matmul, the start/next
+    pick via one stacked masked reduction over the 256 bins, and word
+    emission via a one-hot accumulate into the staging buffer (cursor
+    positions are strictly increasing, so add == set)."""
+    L, K = symbols.shape
+    col = jnp.arange(max_words, dtype=jnp.int32)[None, :]
+    bins = jnp.arange(256, dtype=jnp.int32)[None, :]
+
+    def body(carry, xs):
         state, cursors, buf = carry
-        s = symbols[:, t] + 128
-        r = rows[:, t]
-        start = starts_tab[r, s].astype(jnp.uint32)
-        freq = freqs_tab[r, s].astype(jnp.uint32)
-        x_max = freq << 15
-        for _ in range(3):  # renorm emits at most 3 bytes (freq >= 1)
-            cond = state >= x_max
-            byte = (state & 0xFF).astype(jnp.uint8)
-            pos = jnp.where(cond, cursors, max_bytes)
-            buf = buf.at[lane_ids, pos].set(byte, mode="drop")
-            state = jnp.where(cond, state >> 8, state)
-            cursors = cursors + cond.astype(jnp.int32)
+        s, r = xs
+        row_cum = _row_cum_lookup(r, cum_sub)          # (L, 257)
+        sel = bins == (s + 128)[:, None]               # (L, 256)
+        picked = jnp.sum(jnp.where(
+            sel[:, None, :],
+            jnp.stack([row_cum[:, :256], row_cum[:, 1:]], axis=1),
+            0.0), axis=2)                              # (L, 2)
+        start = picked[:, 0].astype(jnp.int32).astype(jnp.uint32)
+        freq = (picked[:, 1] - picked[:, 0]).astype(jnp.int32) \
+            .astype(jnp.uint32)
+        cond = state >= (freq << 16)
+        word = (state & 0xFFFF).astype(jnp.int32)
+        emit = (col == cursors[:, None]) & cond[:, None]
+        buf = buf + jnp.where(emit, word[:, None], 0)
+        state = jnp.where(cond, state >> 16, state)
+        cursors = cursors + cond.astype(jnp.int32)
         state = ((state // freq) << 16) + (state % freq) + start
         return (state, cursors, buf), None
 
-    init = (jnp.full((L,), 1 << 23, jnp.uint32),
+    init = (jnp.full((L,), 1 << 16, jnp.uint32),
             jnp.zeros((L,), jnp.int32),
-            jnp.zeros((L, max_bytes), jnp.uint8))
-    (state, cursors, buf), _ = lax.scan(body, init, jnp.arange(K))
+            jnp.zeros((L, max_words), jnp.int32))
+    (state, cursors, buf), _ = lax.scan(body, init,
+                                        (symbols.T, rows.T))
     return buf, cursors, state
+
+
+def _slice_rows(cum_f, rows, nr, row_base):
+    """Carve the (nr, 257) subtable at traced row_base and localize the
+    row ids (clamped so lane padding lands on a valid row)."""
+    cum_sub = lax.dynamic_slice(cum_f, (row_base, 0),
+                                (nr, cum_f.shape[1]))
+    rows_local = jnp.clip(rows - row_base, 0, nr - 1)
+    return cum_sub, rows_local
 
 
 class DeviceRansEncoder:
@@ -103,19 +146,16 @@ class DeviceRansEncoder:
     def __init__(self, lanes=512, bytes_per_symbol=0.75):
         self.lanes = lanes
         self.bytes_per_symbol = bytes_per_symbol
-        self.starts = None
-        self.freqs = None
+        self.cum_f = None
         self.n_y_rows = 0
-        self._encode = jax.jit(_encode_scan, static_argnums=(4, 5))
+        self._encode = jax.jit(_encode_scan, static_argnums=(3,))
+        self._slice = jax.jit(_slice_rows, static_argnums=(2,))
 
     def set_tables(self, y_rows, z_rows):
         """y_rows/z_rows: (n, 257) int32 full-range cumulative rows."""
         table = np.concatenate([y_rows, z_rows], axis=0)
         self.n_y_rows = y_rows.shape[0]
-        starts = table[:, :256]
-        freqs = table[:, 1:] - table[:, :256]
-        self.starts = jnp.asarray(starts, jnp.int32)
-        self.freqs = jnp.asarray(freqs, jnp.int32)
+        self.cum_f = jnp.asarray(table, jnp.float32)
 
     def encode_jit_args(self, symbols_flat, rows_flat):
         """Device-side prep: pad + reshape + reverse into lane layout.
@@ -132,20 +172,31 @@ class DeviceRansEncoder:
         r = r.reshape(L, K)[:, ::-1]
         return s, r
 
-    def encode(self, symbols_lanes, rows_lanes, bytes_per_symbol=None):
+    def encode(self, symbols_lanes, rows_lanes, bytes_per_symbol=None,
+               row_base=0, nr=None):
         """Runs the scan encoder; returns device arrays
-        (buf, lens, states)."""
+        (buf, lens, states).
+
+        row_base/nr select the CDF subtable the segment codes against
+        (nr static, row_base traced): keeping the one-hot lookup narrow
+        is what makes the MXU path cheap.  Lane-padding rows are clamped
+        into the subtable; the decoder clamps identically."""
         L, K = symbols_lanes.shape
         bps = bytes_per_symbol or self.bytes_per_symbol
-        max_bytes = max(64, int(K * bps)) + 8
-        return self._encode(symbols_lanes, rows_lanes, self.starts,
-                            self.freqs, self.lanes, max_bytes)
+        max_words = max(32, int(K * bps / 2)) + 4
+        if nr is None:
+            nr = self.n_y_rows
+        cum_sub, rows_local = self._slice(self.cum_f, rows_lanes, nr,
+                                          np.int32(row_base))
+        return self._encode(symbols_lanes, rows_local, cum_sub,
+                            max_words)
 
     def serialize(self, buf_np, lens_np, states_np, n_symbols):
-        """Assemble the v2 container from fetched arrays."""
-        L, MB = buf_np.shape
+        """Assemble the v2 container from fetched arrays.  buf_np holds
+        u16 words (as int32); lane lengths are word counts."""
+        L, MW = buf_np.shape
         K = -(-n_symbols // L)
-        if int(lens_np.max()) >= MB - 4:
+        if int(lens_np.max()) >= MW - 2:
             raise OverflowError("device rANS lane buffer overflow")
         parts = [np.uint32(n_symbols).tobytes(),
                  np.uint16(L).tobytes(), np.uint16(K).tobytes()]
@@ -153,7 +204,8 @@ class DeviceRansEncoder:
             ln = int(lens_np[l])
             parts.append(np.uint16(ln).tobytes())
             parts.append(np.uint32(states_np[l]).tobytes())
-            parts.append(buf_np[l, :ln][::-1].tobytes())
+            parts.append(buf_np[l, :ln][::-1].astype(np.uint16)
+                         .tobytes())
         return b"".join(parts)
 
 
@@ -163,30 +215,30 @@ class DeviceRansEncoder:
 # ---------------------------------------------------------------------------
 
 def serialize_frame(segments):
-    """segments: list of (buf_np (L,MB) uint8, lens_np (L,), states_np
-    (L,), n_symbols, K).  Layout:
-      u8 n_seg | per seg: u32 n, u16 L, u16 K, u32 data_len |
+    """segments: list of (buf_np (L,MW) int32 u16 words, lens_np (L,)
+    word counts, states_np (L,), n_symbols, K).  Layout:
+      u8 n_seg | per seg: u32 n, u16 L, u16 K, u16 MW, u32 data_len |
       lens_all u16 | states_all u32 | data (lane-major, decode order)
     Raises OverflowError if any lane hit its staging buffer."""
     head = [np.uint8(len(segments)).tobytes()]
     lens_parts, states_parts, data_parts = [], [], []
     for buf, lens, states, n, K in segments:
-        L, MB = buf.shape
-        if int(lens.max(initial=0)) >= MB - 4:
+        L, MW = buf.shape
+        if int(lens.max(initial=0)) >= MW - 2:
             raise OverflowError("device rANS lane buffer overflow")
         lens16 = lens.astype(np.uint16)
-        # decode-order bytes per lane = reversed emitted prefix
-        buf_rev = buf[:, ::-1]
-        mask = np.arange(MB)[None, :] >= (MB - lens[:, None])
-        data = buf_rev[mask]  # 1D, lane-major
+        # decode-order words per lane = reversed emitted prefix
+        buf_rev = buf[:, ::-1].astype(np.uint16)
+        mask = np.arange(MW)[None, :] >= (MW - lens[:, None])
+        data = buf_rev[mask]  # 1D u16, lane-major
         head.append(np.uint32(n).tobytes())
         head.append(np.uint16(L).tobytes())
         head.append(np.uint16(K).tobytes())
         # the encoder's static staging width: the decoder reuses it as
-        # its (static) gather width so decode graphs compile once per
+        # its (static) layout width so decode graphs compile once per
         # lane configuration, never per frame
-        head.append(np.uint16(MB).tobytes())
-        head.append(np.uint32(data.size).tobytes())
+        head.append(np.uint16(MW).tobytes())
+        head.append(np.uint32(2 * data.size).tobytes())
         lens_parts.append(lens16.tobytes())
         states_parts.append(states.astype(np.uint32).tobytes())
         data_parts.append(data.tobytes())
@@ -194,11 +246,17 @@ def serialize_frame(segments):
 
 
 def parse_frame(stream):
-    """Vectorized parse of the v3 container.  Returns (metas, stream_np):
-    metas carry static shape info plus the STATIC byte offsets of each
-    segment's lens/states tables and a per-frame data offset; stream_np
-    is the whole container (bucket-padded) for ONE device upload — the
-    device derives lens/states itself via byte gathers."""
+    """Parse the v3 container and build the device staging buffer.
+
+    The compressed container stores each lane's bytes back to back (true
+    bpp); the decoder host pads them out to the encoder's STATIC staging
+    width MB (recorded in the header), so the device sees a fixed layout
+    it can carve up with static slices — zero device gathers and one
+    compiled decode graph per lane configuration, never per frame.
+
+    Returns (metas, staging_np): per segment, metas carry n/L/K/MB plus
+    the STATIC byte offsets of its states and data blocks inside
+    staging_np (one H2D upload per frame)."""
     n_seg = stream[0]
     off = 1
     metas = []
@@ -206,98 +264,102 @@ def parse_frame(stream):
         n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
         L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
         K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
-        mb = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+        mw = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
         dlen = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
-        metas.append({"n": n, "L": L, "K": K, "MB": mb, "dlen": dlen})
+        metas.append({"n": n, "L": L, "K": K, "MW": mw, "dlen": dlen})
+    lens_off = off
     for m in metas:
-        m["lens_off"] = off
-        off += 2 * m["L"]
+        m["lens_off"] = lens_off
+        lens_off += 2 * m["L"]
+    states_src = lens_off
     for m in metas:
-        m["states_off"] = off
-        off += 4 * m["L"]
-    data_off = off
+        m["states_src"] = states_src
+        states_src += 4 * m["L"]
+    data_src = states_src
     for m in metas:
-        m["data_off"] = data_off
-        data_off += m["dlen"]
-    buf = np.frombuffer(stream, np.uint8)
-    # pad the upload to the STATIC capacity implied by the header (lane
-    # config + staging widths), so every decode graph is shape-stable
-    # across frames
-    capacity = off + sum(m["L"] * m["MB"] for m in metas)
-    stream_np = np.zeros(capacity, np.uint8)
-    stream_np[:buf.size] = buf
-    return metas, stream_np
+        m["data_src"] = data_src
+        data_src += m["dlen"]
+
+    cap = sum(4 * m["L"] + 2 * m["L"] * m["MW"] for m in metas)
+    staging = np.zeros(cap, np.uint8)
+    pos = 0
+    for m in metas:
+        L, MW = m["L"], m["MW"]
+        lens = np.frombuffer(stream, np.uint16, L, m["lens_off"])
+        m["states_off"] = pos
+        staging[pos:pos + 4 * L] = np.frombuffer(
+            stream, np.uint8, 4 * L, m["states_src"])
+        pos += 4 * L
+        m["data_off"] = pos
+        lanes = staging[pos:pos + 2 * L * MW].view(np.uint16) \
+            .reshape(L, MW)
+        # row-major boolean fill == the serializer's row-major extract
+        lanes[np.arange(MW)[None, :] < lens[:, None]] = \
+            np.frombuffer(stream, np.uint16, m["dlen"] // 2,
+                          m["data_src"])
+        pos += 2 * L * MW
+    return metas, staging
 
 
-def _read_u16_vec(buf, off, n):
-    base = off + 2 * jnp.arange(n)
-    return buf[base].astype(jnp.int32) | \
-        (buf[base + 1].astype(jnp.int32) << 8)
-
-
-def _read_u32_vec(buf, off, n):
-    base = off + 4 * jnp.arange(n)
-    v = buf[base].astype(jnp.uint32)
-    v |= buf[base + 1].astype(jnp.uint32) << 8
-    v |= buf[base + 2].astype(jnp.uint32) << 16
-    v |= buf[base + 3].astype(jnp.uint32) << 24
-    return v
-
-
-def _unpack_segment(stream, lens_off, states_off, data_off, L, MB):
-    """jit: derive lens/states from the uploaded container and gather the
-    segment's lane bytes into (L, MB).  lens_off/states_off static;
-    data_off traced scalar."""
-    lens = _read_u16_vec(stream, lens_off, L)
-    states = _read_u32_vec(stream, states_off, L)
-    lane_off = data_off + jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens)[:-1]])
-    idx = lane_off[:, None] + jnp.arange(MB)[None, :]
-    idx = jnp.clip(idx, 0, stream.shape[0] - 1)
-    return stream[idx], states
+def _unpack_static(stream, states_off, data_off, L, MW):
+    """jit (all offsets static): carve one segment's states and lane
+    u16 words out of the staging buffer with plain slices/reshapes."""
+    s4 = lax.slice(stream, (states_off,),
+                   (states_off + 4 * L,)).reshape(L, 4).astype(jnp.uint32)
+    states = s4[:, 0] | (s4[:, 1] << 8) | (s4[:, 2] << 16) | \
+        (s4[:, 3] << 24)
+    d2 = lax.slice(stream, (data_off,),
+                   (data_off + 2 * L * MW,)).reshape(L, MW, 2) \
+        .astype(jnp.int32)
+    data = d2[:, :, 0] | (d2[:, :, 1] << 8)
+    return data, states
 
 
 # ---------------------------------------------------------------------------
-# device decoder (lax.scan, binary search over full-range rows)
+# device decoder (lax.scan; one-hot matmul row lookup, masked reductions)
 # ---------------------------------------------------------------------------
 
-def _decode_scan(data, states, rows, cum_tab, K):
-    """data: (L, MB) uint8 lane byte streams in decode order;
-    states: (L,) uint32 initial states; rows: (L, K) int32 row ids in
-    decode (original) order; cum_tab: (n, 257) int32.
-    Returns (L, K) int32 symbols in [-128, 127]."""
-    L = data.shape[0]
-    mb = data.shape[1]
-    lane_ids = jnp.arange(L)
+def _decode_scan(data, states, rows, cum_sub):
+    """data: (L, MW) int32 lane u16 words in decode order; states: (L,)
+    uint32 initial states; rows: (L, K) int32 LOCAL row ids in decode
+    (original) order; cum_sub: (nr, 257) f32 exact-int rows.
+    Returns (L, K) int32 symbols in [-128, 127].
 
-    def body(carry, t):
+    Gather-free u16-renorm mirror of _encode_scan: the symbol search is
+    a masked count over the 257 cumulative bins (rows are strictly
+    increasing, so the last bin <= f IS the symbol), start/next come
+    from one stacked masked reduction, and the single renorm word fetch
+    is a one-hot reduction over the lane's word row."""
+    L, MW = data.shape
+    col = jnp.arange(MW, dtype=jnp.int32)[None, :]
+    big = jnp.float32(1 << 17)
+
+    def body(carry, r):
         state, ptr = carry
-        r = rows[:, t]
+        row_cum = _row_cum_lookup(r, cum_sub)            # (L, 257)
         f = (state & 0xFFFF).astype(jnp.int32)
-        # binary search: largest s in [0,255] with cum[r, s] <= f
-        lo = jnp.zeros((L,), jnp.int32)
-        hi = jnp.full((L,), 256, jnp.int32)
-        for _ in range(8):
-            mid = (lo + hi + 1) >> 1
-            cm = cum_tab[r, mid]
-            go = cm <= f
-            lo = jnp.where(go, mid, lo)
-            hi = jnp.where(go, hi, mid - 1)
-        sym = lo
-        start = cum_tab[r, sym].astype(jnp.uint32)
-        freq = (cum_tab[r, sym + 1] - cum_tab[r, sym]).astype(jnp.uint32)
+        ff = f.astype(jnp.float32)[:, None]
+        le = row_cum <= ff
+        sym = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+        # one reduction for both ends: max(masked cum) = cum[sym],
+        # -max(masked -cum) = cum[sym+1]
+        packed = jnp.max(jnp.stack(
+            [jnp.where(le, row_cum, 0.0),
+             jnp.where(le, -big, -row_cum)], axis=1), axis=2)  # (L, 2)
+        start = packed[:, 0].astype(jnp.int32).astype(jnp.uint32)
+        freq = (-packed[:, 1] - packed[:, 0]).astype(jnp.int32) \
+            .astype(jnp.uint32)
         state = freq * (state >> 16) + f.astype(jnp.uint32) - start
-        for _ in range(3):
-            need = state < (1 << 23)
-            byte = data[lane_ids, jnp.minimum(ptr, mb - 1)]
-            state = jnp.where(need,
-                              (state << 8) | byte.astype(jnp.uint32),
-                              state)
-            ptr = ptr + need.astype(jnp.int32)
+        need = state < (1 << 16)
+        word = jnp.sum(jnp.where(col == ptr[:, None], data, 0), axis=1)
+        state = jnp.where(need,
+                          (state << 16) | word.astype(jnp.uint32),
+                          state)
+        ptr = ptr + need.astype(jnp.int32)
         return (state, ptr), sym - 128
 
     init = (states.astype(jnp.uint32), jnp.zeros((L,), jnp.int32))
-    _, out = lax.scan(body, init, jnp.arange(K))
+    _, out = lax.scan(body, init, rows.T)
     return out.T  # (L, K)
 
 
@@ -308,26 +370,34 @@ class DeviceRansDecoder:
 
     def __init__(self):
         self.cum = None
-        self._decode = jax.jit(_decode_scan, static_argnums=(4,))
-        self._unpack = jax.jit(_unpack_segment,
-                               static_argnums=(1, 2, 4, 5))
+        self._decode = jax.jit(_decode_scan)
+        self._unpack = jax.jit(_unpack_static,
+                               static_argnums=(1, 2, 3, 4))
+        self._slice = jax.jit(_slice_rows, static_argnums=(2,))
 
-    def decode_segment(self, stream_dev, meta, rows_lanes):
-        """Unpack one segment from the single uploaded container and
-        lane-decode it on the device."""
-        data, states = self._unpack(stream_dev, meta["lens_off"],
-                                    meta["states_off"],
-                                    np.int32(meta["data_off"]), meta["L"],
-                                    meta["MB"])
-        return self._decode(data, states, rows_lanes, self.cum, meta["K"])
+    def decode_segment(self, stream_dev, meta, rows_lanes, row_base=0,
+                       nr=None):
+        """Unpack one segment from the single uploaded staging buffer and
+        lane-decode it on the device.  row_base/nr select the CDF
+        subtable exactly as the encoder did."""
+        data, states = self._unpack(stream_dev, meta["states_off"],
+                                    meta["data_off"], meta["L"],
+                                    meta["MW"])
+        if nr is None:
+            nr = self.n_y_rows
+        cum_sub, rows_local = self._slice(self.cum, rows_lanes, nr,
+                                          np.int32(row_base))
+        return self._decode(data, states, rows_local, cum_sub)
 
     def set_tables(self, y_rows, z_rows):
         table = np.concatenate([y_rows, z_rows], axis=0)
-        self.cum = jnp.asarray(table, jnp.int32)
+        self.n_y_rows = y_rows.shape[0]
+        self.cum = jnp.asarray(table, jnp.float32)
 
     def parse(self, stream):
-        """Host-side container parse -> padded numpy arrays ready for one
-        H2D upload: (data (L,MB) uint8, states (L,) uint32, n, K)."""
+        """Host-side v2 container parse -> padded numpy arrays ready for
+        one H2D upload: (data (L,MW) int32 u16 words, states (L,) uint32,
+        n, K)."""
         off = 0
         n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
         L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
@@ -338,21 +408,26 @@ class DeviceRansDecoder:
             ln = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
             states[l] = np.frombuffer(stream, np.uint32, 1, off)[0]
             off += 4
-            lane_data.append(np.frombuffer(stream, np.uint8, ln, off))
-            off += ln
+            lane_data.append(np.frombuffer(stream, np.uint16, ln, off))
+            off += 2 * ln
         # bucket the padded width so the decode scan compiles once per
         # bucket, not once per frame
-        mb = max((d.size for d in lane_data), default=0) + 1
-        mb = -(-mb // 256) * 256
-        data = np.zeros((L, mb), np.uint8)
+        mw = max((d.size for d in lane_data), default=0) + 1
+        mw = -(-mw // 128) * 128
+        data = np.zeros((L, mw), np.int32)
         for l, d in enumerate(lane_data):
             data[l, :d.size] = d
         return data, states, n, K
 
-    def decode(self, data_dev, states_dev, rows_lanes, K):
+    def decode(self, data_dev, states_dev, rows_lanes, K, row_base=0,
+               nr=None):
         """rows_lanes: (L, K) int32 device array of row ids in original
         symbol order.  Returns (L, K) int32 device symbols."""
-        return self._decode(data_dev, states_dev, rows_lanes, self.cum, K)
+        if nr is None:
+            nr = self.n_y_rows
+        cum_sub, rows_local = self._slice(self.cum, rows_lanes, nr,
+                                          np.int32(row_base))
+        return self._decode(data_dev, states_dev, rows_local, cum_sub)
 
 
 # ---------------------------------------------------------------------------
@@ -360,9 +435,10 @@ class DeviceRansDecoder:
 # ---------------------------------------------------------------------------
 
 def decode_device_stream(stream, rows_flat, table_rows):
-    """Decode a v2 container.  rows_flat: (N,) int32 row ids in symbol
-    order (the decoder-side model supplies them); table_rows: (n, 257)
-    full-range cumulative rows.  Returns int32 symbols (N,)."""
+    """Decode a v2 container (u16-renorm lanes).  rows_flat: (N,) int32
+    row ids in symbol order (the decoder-side model supplies them);
+    table_rows: (n, 257) full-range cumulative rows.  Returns int32
+    symbols (N,)."""
     off = 0
     n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
     L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
@@ -373,8 +449,8 @@ def decode_device_stream(stream, rows_flat, table_rows):
     for l in range(L):
         ln = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
         states[l] = np.frombuffer(stream, np.uint32, 1, off)[0]; off += 4
-        lane_data.append(np.frombuffer(stream, np.uint8, ln, off))
-        off += ln
+        lane_data.append(np.frombuffer(stream, np.uint16, ln, off))
+        off += 2 * ln
 
     pad = L * K - n
     rows = np.concatenate([np.asarray(rows_flat, np.int64),
@@ -382,7 +458,7 @@ def decode_device_stream(stream, rows_flat, table_rows):
     table = np.asarray(table_rows, np.int64)
 
     max_len = max((d.size for d in lane_data), default=0)
-    data = np.zeros((L, max_len + 1), np.uint8)
+    data = np.zeros((L, max_len + 1), np.uint16)
     for l, d in enumerate(lane_data):
         data[l, :d.size] = d
     ptr = np.zeros(L, np.int64)
@@ -398,11 +474,10 @@ def decode_device_stream(stream, rows_flat, table_rows):
         freq = cdf_rows[lane_ids, sym + 1] - start
         states = freq.astype(np.uint64) * (states >> np.uint64(16)) \
             + (states & np.uint64(0xFFFF)) - start.astype(np.uint64)
-        for _ in range(3):
-            need = states < (1 << 23)
-            byte = data[lane_ids, np.minimum(ptr, max_len)]
-            states = np.where(need, (states << np.uint64(8))
-                              | byte.astype(np.uint64), states)
-            ptr = ptr + need
+        need = states < (1 << 16)
+        word = data[lane_ids, np.minimum(ptr, max_len)]
+        states = np.where(need, (states << np.uint64(16))
+                          | word.astype(np.uint64), states)
+        ptr = ptr + need
         out[:, t] = sym - 128
     return out.reshape(-1)[:n].astype(np.int32)

@@ -547,14 +547,16 @@ class DMC:
             # decoder can also run on-device pass by pass; only
             # compressed bytes cross D2H
             enc = self.device_encoder
+            z_base = np.int32(enc.n_y_rows + qp * G_CH_Z)
             segs = []
             sym_l, row_l = self._j_lane_z(z_int8, qp_dev, enc.n_y_rows,
                                           self.z_lanes)
-            segs.append((sym_l, row_l, n_z))
+            segs.append((sym_l, row_l, n_z, z_base, G_CH_Z))
             for pk in (packed0, packed1):
                 sym_l, row_l = self._j_lane_y(pk, enc.lanes)
-                segs.append((sym_l, row_l, n_y))
-            outs = [enc.encode(s, r) for s, r, _ in segs]
+                segs.append((sym_l, row_l, n_y, 0, None))
+            outs = [enc.encode(s, r, row_base=rb, nr=nr)
+                    for s, r, _, rb, nr in segs]
             for trio in outs:
                 for a in trio:
                     try:
@@ -567,15 +569,16 @@ class DMC:
                 from ..entropy.device_rans import serialize_frame
                 flat = jax.device_get([a for trio in outs for a in trio])
                 frame_segs = []
-                for i, (sym_l, row_l, n) in enumerate(segs):
+                for i, (sym_l, row_l, n, rb, nr) in enumerate(segs):
                     b, ln, st = flat[3 * i:3 * i + 3]
                     K = sym_l.shape[1]
                     bps = enc.bytes_per_symbol
-                    while int(ln.max(initial=0)) >= b.shape[1] - 4:
+                    while int(ln.max(initial=0)) >= b.shape[1] - 2:
                         # rare hard frame: grow the staging buffer
                         bps = min(bps * 2, 3.0)
                         b, ln, st = jax.device_get(list(
-                            enc.encode(sym_l, row_l, bps)))
+                            enc.encode(sym_l, row_l, bps, row_base=rb,
+                                       nr=nr)))
                     frame_segs.append((b, ln, st, n, K))
                 return serialize_frame(frame_segs)
 
@@ -637,7 +640,9 @@ class DMC:
 
         rows_z = self._j_rows_z(zh, zw, G_CH_Z, qp_dev,
                                 self.device_encoder.n_y_rows, self.z_lanes)
-        z_syms = dec.decode_segment(stream_dev, metas[0], rows_z)
+        z_base = np.int32(self.device_encoder.n_y_rows + qp * G_CH_Z)
+        z_syms = dec.decode_segment(stream_dev, metas[0], rows_z,
+                                    row_base=z_base, nr=G_CH_Z)
         z_hat = self._j_plane_from(z_syms, zh, zw, G_CH_Z)
         params_prior = self._j_prior(p, z_hat, ctx_t)
 
