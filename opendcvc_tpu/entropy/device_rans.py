@@ -126,7 +126,8 @@ def _encode_scan(symbols, rows, cum_sub, max_words):
             jnp.zeros((L, max_words), jnp.int32))
     (state, cursors, buf), _ = lax.scan(body, init,
                                         (symbols.T, rows.T))
-    return buf, cursors, state
+    # u16 staging: halves the D2H volume of the symbol fetch
+    return buf.astype(jnp.uint16), cursors, state
 
 
 def _slice_rows(cum_f, rows, nr, row_base):
@@ -150,6 +151,14 @@ class DeviceRansEncoder:
         self.n_y_rows = 0
         self._encode = jax.jit(_encode_scan, static_argnums=(3,))
         self._slice = jax.jit(_slice_rows, static_argnums=(2,))
+        self._trim = jax.jit(
+            lambda b, w: lax.slice(b, (0, 0), (b.shape[0], w)),
+            static_argnums=(1,))
+
+    def trim(self, buf, width):
+        """Device-side slice of the staging buffer to a (bucketed) width
+        before D2H — only ~actual compressed bytes cross the link."""
+        return self._trim(buf, width)
 
     def set_tables(self, y_rows, z_rows):
         """y_rows/z_rows: (n, 257) int32 full-range cumulative rows."""
@@ -224,8 +233,15 @@ def serialize_frame(segments):
     lens_parts, states_parts, data_parts = [], [], []
     for buf, lens, states, n, K in segments:
         L, MW = buf.shape
-        if int(lens.max(initial=0)) >= MW - 2:
+        max_len = int(lens.max(initial=0))
+        if max_len >= MW - 2:
             raise OverflowError("device rANS lane buffer overflow")
+        # trim the staging width to a bucketed max lane length before
+        # writing it into the header: the decoder stages at this width,
+        # so a tight (but bucket-stable) MW keeps its upload small and
+        # its graphs shape-stable
+        MW = min(MW, (max_len // 8 + 1) * 8)
+        buf = buf[:, :MW]
         lens16 = lens.astype(np.uint16)
         # decode-order words per lane = reversed emitted prefix
         buf_rev = buf[:, ::-1].astype(np.uint16)
