@@ -80,20 +80,26 @@ def main():
     # frames' device compute (the throughput mode a production encoder
     # runs).  Depth >1 lets several transfers be in flight at once.
     from collections import deque
-    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", 3))
+    from concurrent.futures import ThreadPoolExecutor
+    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", 5))
     frames = [frame(t) for t in range(3, 3 + n_frames)]
     for f in frames:
         f.block_until_ready()
     total_bits = 0
     pending = deque()
+    # finish (fetch + container assembly) runs on a coder thread so its
+    # round-trips overlap the main thread's dispatch of later frames —
+    # the reference does the same with rANS worker threads
+    pool = ThreadPoolExecutor(max_workers=1)
     t0 = time.perf_counter()
     for x in frames:
-        pending.append(p_net.compress_async(x, 21))
+        pending.append(pool.submit(p_net.compress_async(x, 21)))
         if len(pending) > depth:
-            total_bits += len(pending.popleft()()) * 8
+            total_bits += len(pending.popleft().result()) * 8
     while pending:
-        total_bits += len(pending.popleft()()) * 8
+        total_bits += len(pending.popleft().result()) * 8
     elapsed = time.perf_counter() - t0
+    pool.shutdown()
 
     avg = elapsed / n_frames
     fps = 1.0 / avg
