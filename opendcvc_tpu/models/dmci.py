@@ -17,6 +17,7 @@ single compiled graph serves every rate point.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -259,6 +260,25 @@ class DMCI:
                                       static_argnums=(3,))
         self._j_recon = jax.jit(_stage_recon)
 
+        # device-side entropy coding (tpu-lane containers): opt-in; the
+        # lane layout stages are shared with the video codec
+        from . import dmc as _D
+        self._j_lane_z = jax.jit(_D._stage_lane_z, static_argnums=(2, 3))
+        self._j_lane_y = jax.jit(_D._stage_lane_y, static_argnums=(1,))
+        self._j_rows_z = jax.jit(_D._stage_rows_z_dec,
+                                 static_argnums=(0, 1, 2, 4, 5))
+        self._j_rows_idx = jax.jit(_D._stage_rows_idx_dec,
+                                   static_argnums=(1,))
+        dt = dtype
+        self._j_plane_from = jax.jit(
+            lambda s, h, w, c: s.reshape(-1)[: h * w * c]
+            .reshape(1, h, w, c).astype(dt), static_argnums=(1, 2, 3))
+        self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
+            not in ("0", "false", "False")
+        self.device_encoder = None
+        self.device_decoder = None
+        self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
+
     # -- setup --------------------------------------------------------------
 
     @staticmethod
@@ -293,6 +313,19 @@ class DMCI:
         self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
         self.bit_estimator_z.update(self.params["bit_estimator_z"],
                                     self.entropy_coder)
+        if self.device_ec:
+            from ..entropy.device_rans import (DeviceRansEncoder,
+                                               DeviceRansDecoder,
+                                               full_range_cdf_rows)
+            self.device_encoder = DeviceRansEncoder(
+                lanes=int(os.environ.get("OPENDCVC_TPU_EC_LANES", 4096)),
+                bytes_per_symbol=float(
+                    os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5)))
+            y_rows = full_range_cdf_rows(*self.gaussian_encoder.cdf_info)
+            z_rows = full_range_cdf_rows(*self.bit_estimator_z.cdf_info)
+            self.device_encoder.set_tables(y_rows, z_rows)
+            self.device_decoder = DeviceRansDecoder()
+            self.device_decoder.set_tables(y_rows, z_rows)
 
     def set_use_two_entropy_coders(self, b):
         self.entropy_coder.set_use_two_entropy_coders(b)
@@ -326,6 +359,35 @@ class DMCI:
 
         x_hat = self._j_recon(p, so_far, q_dec_prior, qp_dev)
 
+        if self.device_ec and fz is None:
+            # device-side rANS: one segment per plane (z, y0..y3) so the
+            # decoder also runs on-device pass by pass
+            from ..entropy.device_rans import serialize_frame
+            enc = self.device_encoder
+            z_base = np.int32(enc.n_y_rows + qp * self.z_channel)
+            segs = []
+            sym_l, row_l = self._j_lane_z(z_int8, qp_dev, enc.n_y_rows,
+                                          self.z_lanes)
+            segs.append((sym_l, row_l, int(np.prod(z_int8.shape)),
+                         z_base, self.z_channel))
+            for pk in packed_planes:
+                s_l, r_l = self._j_lane_y(pk, enc.lanes)
+                segs.append((s_l, r_l, int(np.prod(pk.shape)), 0, None))
+            outs = [enc.encode(s, r, row_base=rb, nr=nr)
+                    for s, r, _, rb, nr in segs]
+            flat = jax.device_get([a for trio in outs for a in trio])
+            frame_segs = []
+            for i, (s_l, r_l, n, rb, nr) in enumerate(segs):
+                b, ln, st = flat[3 * i:3 * i + 3]
+                bps = enc.bytes_per_symbol
+                while int(ln.max(initial=0)) >= b.shape[1] - 2:
+                    bps = min(bps * 2, 3.0)
+                    b, ln, st = jax.device_get(list(
+                        enc.encode(s_l, r_l, bps, row_base=rb, nr=nr)))
+                frame_segs.append((b, ln, st, n, s_l.shape[1]))
+            return {"bit_stream": serialize_frame(frame_segs),
+                    "x_hat": x_hat}
+
         fetch = [z_int8] + packed_planes
         if fz is not None:
             fetch += skip_planes
@@ -347,10 +409,53 @@ class DMCI:
 
     # -- decompress ----------------------------------------------------------
 
+    def _decompress_device(self, bit_stream, sps, qp):
+        """Device-EC decode: one H2D of the compressed segments; the
+        lane decoder + all four restore passes run on-device."""
+        from ..entropy.device_rans import parse_frame
+        p = self.params
+        qp_dev = np.int32(qp)
+        dec = self.device_decoder
+        enc = self.device_encoder
+
+        metas, staging = parse_frame(bit_stream)
+        stream_dev = jnp.asarray(staging)  # ONE upload per frame
+
+        zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"], 16)
+
+        rows_z = self._j_rows_z(zh, zw, self.z_channel, qp_dev,
+                                enc.n_y_rows, self.z_lanes)
+        z_base = np.int32(enc.n_y_rows + qp * self.z_channel)
+        z_syms = dec.decode_segment(stream_dev, metas[0], rows_z,
+                                    row_base=z_base, nr=self.z_channel)
+        z_hat = self._j_plane_from(z_syms, zh, zw, self.z_channel)
+
+        _, q_dec_prior, scales, means, reduced = self._j_prior(
+            p, z_hat, y_h, y_w)
+
+        y_hat_so_far = None
+        for k in range(4):
+            if k > 0:
+                scales, means = self._j_spatial(p, k, y_hat_so_far,
+                                                reduced)
+            indexes, _ = self._j_fold_index(scales, k, None)
+            _, ih, iw, ic = indexes.shape
+            rows = self._j_rows_idx(indexes, enc.lanes)
+            y_syms = dec.decode_segment(stream_dev, metas[1 + k], rows)
+            y_q_r = self._j_plane_from(y_syms, ih, iw, ic)
+            y_hat_so_far = self._j_dec_restore(y_q_r, means,
+                                               y_hat_so_far, k)
+
+        x_hat = self._j_recon(p, y_hat_so_far, q_dec_prior, qp_dev)
+        return {"x_hat": x_hat}
+
     def decompress(self, bit_stream, sps, qp):
         p = self.params
         fz = self.force_zero_thres
         qp_dev = np.int32(qp)
+        if self.device_ec and fz is None:
+            return self._decompress_device(bit_stream, sps, qp)
 
         self.entropy_coder.set_use_two_entropy_coders(sps["ec_part"] == 1)
         self.entropy_coder.set_stream(bit_stream)

@@ -121,3 +121,36 @@ def test_dmc_device_ec_roundtrip_matches_classic():
     c1, c2 = run(False)
     np.testing.assert_array_equal(d1, c1)
     np.testing.assert_array_equal(d2, c2)
+
+
+def test_dmci_device_ec_roundtrip_matches_classic():
+    """Device-EC image compress+decompress must reproduce exactly the
+    frames the classic host-rANS path produces."""
+    from opendcvc_tpu.models.dmci import DMCI
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32))
+
+    def run(device_ec):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
+        try:
+            net = DMCI()
+            net.init_params(seed=0)
+            net.update()
+            s1 = net.compress(x, 12)["bit_stream"]
+            s2 = net.compress(x, 40)["bit_stream"]
+
+            dec = DMCI()
+            dec.load_params(net.params)
+            dec.update()
+            sps = {"sps_id": 0, "height": 64, "width": 96, "ec_part": 0,
+                   "use_ada_i": 0}
+            r1 = dec.decompress(s1, sps, 12)["x_hat"]
+            r2 = dec.decompress(s2, sps, 40)["x_hat"]
+            return np.asarray(r1), np.asarray(r2)
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
+    d1, d2 = run(True)
+    c1, c2 = run(False)
+    np.testing.assert_array_equal(d1, c1)
+    np.testing.assert_array_equal(d2, c2)
