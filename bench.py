@@ -35,7 +35,7 @@ def main():
     from opendcvc_tpu.ops.fused import replicate_pad
 
     platform = jax.devices()[0].platform
-    n_frames = int(os.environ.get("BENCH_FRAMES", 12))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 16))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     dtype_name = os.environ.get(
