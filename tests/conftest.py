@@ -1,13 +1,16 @@
 """Test config: run JAX on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax initializes its backends, hence at
-conftest import time.
+The ambient environment may pre-import jax with a TPU plugin platform
+(sitecustomize) before this conftest runs, in which case env-var writes
+alone are ineffective: JAX_PLATFORMS is materialized into jax.config at
+import time.  So in addition to the env vars (which cover clean
+interpreters) we call jax.config.update, which works as long as no
+backend has been initialized yet.  XLA_FLAGS is read lazily at backend
+creation, so setting it here is always effective.
 """
 
 import os
 
-# force CPU: the ambient environment may pin JAX_PLATFORMS to a TPU
-# plugin; tests validate logic + multi-device sharding on a virtual mesh
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -19,3 +22,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/opendcvc_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402  (must come after the env staging above)
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests require the virtual CPU mesh; a device backend was initialized "
+    "before conftest could force JAX_PLATFORMS=cpu")
+assert len(jax.devices()) >= 8, (
+    "xla_force_host_platform_device_count=8 did not take effect")
