@@ -7,11 +7,17 @@ independent rANS lanes advanced in lockstep by a `lax.scan` (the VPU
 processes all lanes per step), so only the compressed bytes (plus per-
 lane lengths and final states) cross device->host.
 
-Everything is built for the TPU's execution model: no per-element
-gathers or scatters anywhere — CDF rows come from one-hot matmuls on
-the MXU, symbol search and word fetch are masked reductions on the VPU,
-and renormalisation is 16-bit (state in [2^16, 2^32)) so each scan step
-moves at most ONE u16 per lane.
+Everything is built for the TPU's execution model: renormalisation is
+16-bit (state in [2^16, 2^32)) so each scan step moves at most ONE u16
+per lane, and CDF rows are fetched with one-hot matmuls on the MXU —
+measured on v5e, XLA's gather runs ~9ns/element (a 512k-position
+lookup costs ~5ms) while the equivalent one-hot contraction is
+sub-millisecond.  The tables are split into hi/lo bytes so the matmul
+runs in ONE bf16 pass yet stays exact: one-hot entries and byte values
+(<= 256) are exactly representable in bf16, every output is a single
+nonzero term accumulated in f32, and hi*256+lo reassembles the 16-bit
+cumulative exactly (the round-1 design used 6-pass f32 HIGHEST
+precision for the same guarantee at ~6x the cost).
 
 Format ("tpu-lane" v2, self-contained, NOT the reference byte format):
   * symbols are coded against full-range 256-bin CDFs (no escape/bypass:
@@ -47,22 +53,29 @@ def full_range_cdf_rows(cdfs, cdf_sizes, offsets):
     cdfs = np.asarray(cdfs, np.int64)
     sizes = np.asarray(cdf_sizes, np.int64).reshape(-1)
     offsets = np.asarray(offsets, np.int64).reshape(-1)
-    n = cdfs.shape[0]
+    n, w = cdfs.shape
+    # per-row in-range frequencies, vectorized across rows
+    in_f = cdfs[:, 1:] - cdfs[:, :-1]                    # (n, w-1)
+    n_sym = sizes - 2              # in-range symbols (last bin = escape)
+    col = np.arange(w - 1)[None, :]
+    valid = col < n_sym[:, None]
+    # scatter each row's in-range block at bin offset+128
+    freqs = np.ones((n, 256), np.int64)
+    lo = offsets + 128             # bin index of first in-range symbol
+    dest = lo[:, None] + col                             # (n, w-1)
+    valid &= (dest >= 0) & (dest < 256)
+    in_f = np.where(valid, np.maximum(in_f, 1), 0)
+    dest_c = np.clip(dest, 0, 255)
+    rows_i = np.repeat(np.arange(n), w - 1)
+    np.add.at(freqs, (rows_i, dest_c.reshape(-1)),
+              (np.where(valid, in_f - 1, 0)).reshape(-1))
+    excess = freqs.sum(axis=1) - (1 << 16)
+    j = np.argmax(freqs, axis=1)
+    assert np.all(freqs[np.arange(n), j] - excess >= 1), \
+        "cannot normalize full-range cdf"
+    freqs[np.arange(n), j] -= excess
     out = np.zeros((n, 257), np.int64)
-    for i in range(n):
-        sz = int(sizes[i])
-        n_sym = sz - 2            # in-range symbols (last bin = escape)
-        off = int(offsets[i])     # symbol value of bin 0
-        freqs = np.ones(256, np.int64)
-        in_f = cdfs[i, 1:n_sym + 1] - cdfs[i, :n_sym]
-        lo = off + 128            # bin index of first in-range symbol
-        freqs[lo:lo + n_sym] = np.maximum(in_f, 1)
-        excess = int(freqs.sum()) - (1 << 16)
-        # absorb the excess in the largest bin (it is >> excess)
-        j = int(np.argmax(freqs))
-        assert freqs[j] - excess >= 1, "cannot normalize full-range cdf"
-        freqs[j] -= excess
-        out[i, 1:] = np.cumsum(freqs)
+    out[:, 1:] = np.cumsum(freqs, axis=1)
     assert np.all(out[:, -1] == (1 << 16))
     return out.astype(np.int32)
 
@@ -71,31 +84,42 @@ def full_range_cdf_rows(cdfs, cdf_sizes, offsets):
 # device encoder
 # ---------------------------------------------------------------------------
 
-def _row_cum_lookup(r_local, cum_sub):
-    """(L,) local row ids -> (L, 257) cumulative rows, gather-free.
+def _split_hi_lo_bf16(cum_rows):
+    """(n, 257) int32 cumulative rows -> (n, 514) bf16 [hi | lo] bytes.
+    hi = cum >> 8 (<= 256), lo = cum & 255 — both exact in bf16."""
+    cum_rows = jnp.asarray(cum_rows, jnp.int32)
+    hi = (cum_rows >> 8).astype(jnp.bfloat16)
+    lo = (cum_rows & 255).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=1)
 
-    TPU gathers execute per element; a one-hot matmul runs on the MXU
-    instead.  cum values are <= 2^16 so f32 accumulation (one non-zero
-    term per output) is exact; precision HIGHEST keeps the MXU from
-    dropping to bf16."""
-    nr = cum_sub.shape[0]
+
+def _row_cum_lookup(r_local, cum_hl):
+    """(L,) local row ids -> (L, 257) exact cumulative values as f32.
+
+    One-hot matmul on the MXU in a single bf16 pass: every output is
+    one nonzero term accumulated in f32, and the hi/lo byte split keeps
+    all operands exactly representable in bf16."""
+    nr = cum_hl.shape[0]
     onehot = (r_local[:, None] == jnp.arange(nr)[None, :]) \
-        .astype(jnp.float32)
-    return jnp.matmul(onehot, cum_sub, precision=lax.Precision.HIGHEST)
+        .astype(jnp.bfloat16)
+    hl = jnp.matmul(onehot, cum_hl,
+                    preferred_element_type=jnp.float32)     # (L, 514)
+    return hl[:, :257] * 256.0 + hl[:, 257:]
 
 
-def _encode_scan(symbols, rows, cum_sub, max_words):
+def _encode_scan(symbols, rows, cum_hl_sub, max_words):
     """symbols: (L, K) int32 in [-128,127], reversed (last symbol first);
-    rows: (L, K) int32 LOCAL cdf-row ids into cum_sub ((nr, 257) f32).
+    rows: (L, K) int32 LOCAL cdf-row ids into cum_hl_sub ((nr, 514)
+    bf16 hi/lo split rows).
     Returns (buf (L, max_words) int32 of u16 words, lens, states).
 
     rANS with 16-bit renormalisation: state in [2^16, 2^32), at most ONE
     u16 emitted per symbol (freq >= 1 makes a second emission
-    impossible), which keeps the per-step work to one masked reduction.
-    Gather/scatter-free: table rows via one-hot matmul, the start/next
-    pick via one stacked masked reduction over the 256 bins, and word
-    emission via a one-hot accumulate into the staging buffer (cursor
-    positions are strictly increasing, so add == set)."""
+    impossible).  Per step: one bf16 one-hot matmul fetches the lanes'
+    cumulative rows, (start, next) come from one masked reduction over
+    the 256 bins, and the emitted word goes through a small
+    (L, max_words) one-hot accumulate (cursor positions are strictly
+    increasing, so add == set)."""
     L, K = symbols.shape
     col = jnp.arange(max_words, dtype=jnp.int32)[None, :]
     bins = jnp.arange(256, dtype=jnp.int32)[None, :]
@@ -103,7 +127,7 @@ def _encode_scan(symbols, rows, cum_sub, max_words):
     def body(carry, xs):
         state, cursors, buf = carry
         s, r = xs
-        row_cum = _row_cum_lookup(r, cum_sub)          # (L, 257)
+        row_cum = _row_cum_lookup(r, cum_hl_sub)       # (L, 257) f32
         sel = bins == (s + 128)[:, None]               # (L, 256)
         picked = jnp.sum(jnp.where(
             sel[:, None, :],
@@ -124,17 +148,17 @@ def _encode_scan(symbols, rows, cum_sub, max_words):
     init = (jnp.full((L,), 1 << 16, jnp.uint32),
             jnp.zeros((L,), jnp.int32),
             jnp.zeros((L, max_words), jnp.int32))
-    (state, cursors, buf), _ = lax.scan(body, init,
-                                        (symbols.T, rows.T))
+    (state, cursors, buf), _ = lax.scan(
+        body, init, (symbols.T, rows.T), unroll=2)
     # u16 staging: halves the D2H volume of the symbol fetch
     return buf.astype(jnp.uint16), cursors, state
 
 
-def _slice_rows(cum_f, rows, nr, row_base):
-    """Carve the (nr, 257) subtable at traced row_base and localize the
+def _slice_rows(cum_hl, rows, nr, row_base):
+    """Carve the (nr, 514) subtable at traced row_base and localize the
     row ids (clamped so lane padding lands on a valid row)."""
-    cum_sub = lax.dynamic_slice(cum_f, (row_base, 0),
-                                (nr, cum_f.shape[1]))
+    cum_sub = lax.dynamic_slice(cum_hl, (row_base, 0),
+                                (nr, cum_hl.shape[1]))
     rows_local = jnp.clip(rows - row_base, 0, nr - 1)
     return cum_sub, rows_local
 
@@ -147,7 +171,7 @@ class DeviceRansEncoder:
     def __init__(self, lanes=512, bytes_per_symbol=0.75):
         self.lanes = lanes
         self.bytes_per_symbol = bytes_per_symbol
-        self.cum_f = None
+        self.cum_hl = None
         self.n_y_rows = 0
         self._encode = jax.jit(_encode_scan, static_argnums=(3,))
         self._slice = jax.jit(_slice_rows, static_argnums=(2,))
@@ -164,7 +188,7 @@ class DeviceRansEncoder:
         """y_rows/z_rows: (n, 257) int32 full-range cumulative rows."""
         table = np.concatenate([y_rows, z_rows], axis=0)
         self.n_y_rows = y_rows.shape[0]
-        self.cum_f = jnp.asarray(table, jnp.float32)
+        self.cum_hl = jax.device_put(_split_hi_lo_bf16(table))
 
     def encode_jit_args(self, symbols_flat, rows_flat):
         """Device-side prep: pad + reshape + reverse into lane layout.
@@ -195,7 +219,7 @@ class DeviceRansEncoder:
         max_words = max(32, int(K * bps / 2)) + 4
         if nr is None:
             nr = self.n_y_rows
-        cum_sub, rows_local = self._slice(self.cum_f, rows_lanes, nr,
+        cum_sub, rows_local = self._slice(self.cum_hl, rows_lanes, nr,
                                           np.int32(row_base))
         return self._encode(symbols_lanes, rows_local, cum_sub,
                             max_words)
@@ -335,24 +359,25 @@ def _unpack_static(stream, states_off, data_off, L, MW):
 # device decoder (lax.scan; one-hot matmul row lookup, masked reductions)
 # ---------------------------------------------------------------------------
 
-def _decode_scan(data, states, rows, cum_sub):
+def _decode_scan(data, states, rows, cum_hl_sub):
     """data: (L, MW) int32 lane u16 words in decode order; states: (L,)
     uint32 initial states; rows: (L, K) int32 LOCAL row ids in decode
-    (original) order; cum_sub: (nr, 257) f32 exact-int rows.
+    (original) order; cum_hl_sub: (nr, 514) bf16 hi/lo split rows.
     Returns (L, K) int32 symbols in [-128, 127].
 
-    Gather-free u16-renorm mirror of _encode_scan: the symbol search is
-    a masked count over the 257 cumulative bins (rows are strictly
-    increasing, so the last bin <= f IS the symbol), start/next come
-    from one stacked masked reduction, and the single renorm word fetch
-    is a one-hot reduction over the lane's word row."""
+    u16-renorm mirror of _encode_scan: the symbol search is a masked
+    count over the 257 cumulative bins (rows are strictly increasing,
+    so the last bin <= f IS the symbol), (start, next) come from one
+    stacked masked reduction, and the single renorm word fetch is a
+    one-hot reduction over the lane's word row (XLA's per-element
+    gather is far slower than these dense VPU reductions on TPU)."""
     L, MW = data.shape
     col = jnp.arange(MW, dtype=jnp.int32)[None, :]
     big = jnp.float32(1 << 17)
 
     def body(carry, r):
         state, ptr = carry
-        row_cum = _row_cum_lookup(r, cum_sub)            # (L, 257)
+        row_cum = _row_cum_lookup(r, cum_hl_sub)         # (L, 257) f32
         f = (state & 0xFFFF).astype(jnp.int32)
         ff = f.astype(jnp.float32)[:, None]
         le = row_cum <= ff
@@ -375,7 +400,7 @@ def _decode_scan(data, states, rows, cum_sub):
         return (state, ptr), sym - 128
 
     init = (states.astype(jnp.uint32), jnp.zeros((L,), jnp.int32))
-    _, out = lax.scan(body, init, rows.T)
+    _, out = lax.scan(body, init, rows.T, unroll=2)
     return out.T  # (L, K)
 
 
@@ -385,7 +410,7 @@ class DeviceRansDecoder:
     on-device for the following restore stages."""
 
     def __init__(self):
-        self.cum = None
+        self.cum_hl = None
         self._decode = jax.jit(_decode_scan)
         self._unpack = jax.jit(_unpack_static,
                                static_argnums=(1, 2, 3, 4))
@@ -401,14 +426,14 @@ class DeviceRansDecoder:
                                     meta["MW"])
         if nr is None:
             nr = self.n_y_rows
-        cum_sub, rows_local = self._slice(self.cum, rows_lanes, nr,
+        cum_sub, rows_local = self._slice(self.cum_hl, rows_lanes, nr,
                                           np.int32(row_base))
         return self._decode(data, states, rows_local, cum_sub)
 
     def set_tables(self, y_rows, z_rows):
         table = np.concatenate([y_rows, z_rows], axis=0)
         self.n_y_rows = y_rows.shape[0]
-        self.cum = jnp.asarray(table, jnp.float32)
+        self.cum_hl = jax.device_put(_split_hi_lo_bf16(table))
 
     def parse(self, stream):
         """Host-side v2 container parse -> padded numpy arrays ready for
@@ -441,7 +466,7 @@ class DeviceRansDecoder:
         symbol order.  Returns (L, K) int32 device symbols."""
         if nr is None:
             nr = self.n_y_rows
-        cum_sub, rows_local = self._slice(self.cum, rows_lanes, nr,
+        cum_sub, rows_local = self._slice(self.cum_hl, rows_lanes, nr,
                                           np.int32(row_base))
         return self._decode(data_dev, states_dev, rows_local, cum_sub)
 
