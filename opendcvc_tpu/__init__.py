@@ -18,3 +18,22 @@ Layer map (mirrors the reference's layering, re-expressed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Determinism contract: encoder and decoder evaluate shared stages in
+# DIFFERENT compiled programs (the fused per-frame megastages), and the
+# temporal prediction chain requires their numerics to be bit-identical.
+# By default XLA:TPU keeps fusion intermediates at excess (f32)
+# precision and only rounds bf16 values at fusion boundaries, so the
+# same source expression can round differently in different programs.
+# Forcing excess precision off pins every op's rounding, making results
+# program-shape-independent (verified on TPU: fused-vs-split and
+# enc-vs-dec feature chains match exactly).  The TPU analogue of the
+# reference's torch.use_deterministic_algorithms(True)
+# (reference src/utils/common.py:17-29).
+_flags = _os.environ.get("XLA_FLAGS", "")
+if "xla_allow_excess_precision" not in _flags:
+    _os.environ["XLA_FLAGS"] = \
+        (_flags + " --xla_allow_excess_precision=false").strip()
+del _os, _flags

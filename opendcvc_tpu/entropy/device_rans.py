@@ -107,20 +107,23 @@ def _row_cum_lookup(r_local, cum_hl):
     return hl[:, :257] * 256.0 + hl[:, 257:]
 
 
-def _encode_scan(symbols, rows, cum_hl_sub, max_words):
-    """symbols: (L, K) int32 in [-128,127], reversed (last symbol first);
+def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
+    """One encode sub-scan with rANS state continuation.
+
+    symbols: (L, K) int32 in [-128,127], reversed (last symbol first);
     rows: (L, K) int32 LOCAL cdf-row ids into cum_hl_sub ((nr, 514)
-    bf16 hi/lo split rows).
-    Returns (buf (L, max_words) int32 of u16 words, lens, states).
+    bf16 hi/lo split rows); carry: (state (L,) u32, cursors (L,) i32,
+    buf (L, MW) i32) from the previous sub-scan (segments coded
+    back-to-back share one lane state and one staging buffer).
 
     rANS with 16-bit renormalisation: state in [2^16, 2^32), at most ONE
     u16 emitted per symbol (freq >= 1 makes a second emission
     impossible).  Per step: one bf16 one-hot matmul fetches the lanes'
     cumulative rows, (start, next) come from one masked reduction over
     the 256 bins, and the emitted word goes through a small
-    (L, max_words) one-hot accumulate (cursor positions are strictly
+    (L, MW) one-hot accumulate (cursor positions are strictly
     increasing, so add == set)."""
-    L, K = symbols.shape
+    max_words = carry[2].shape[1]
     col = jnp.arange(max_words, dtype=jnp.int32)[None, :]
     bins = jnp.arange(256, dtype=jnp.int32)[None, :]
 
@@ -145,11 +148,22 @@ def _encode_scan(symbols, rows, cum_hl_sub, max_words):
         state = ((state // freq) << 16) + (state % freq) + start
         return (state, cursors, buf), None
 
-    init = (jnp.full((L,), 1 << 16, jnp.uint32),
-            jnp.zeros((L,), jnp.int32),
-            jnp.zeros((L, max_words), jnp.int32))
-    (state, cursors, buf), _ = lax.scan(
-        body, init, (symbols.T, rows.T), unroll=2)
+    carry, _ = lax.scan(body, carry, (symbols.T, rows.T), unroll=2)
+    return carry
+
+
+def encode_carry_init(lanes, max_words):
+    return (jnp.full((lanes,), 1 << 16, jnp.uint32),
+            jnp.zeros((lanes,), jnp.int32),
+            jnp.zeros((lanes, max_words), jnp.int32))
+
+
+def _encode_scan(symbols, rows, cum_hl_sub, max_words):
+    """Single-segment encode (fresh carry).  Returns
+    (buf (L, max_words) u16 staging, lens, states)."""
+    L, K = symbols.shape
+    state, cursors, buf = _encode_scan_carry(
+        symbols, rows, cum_hl_sub, encode_carry_init(L, max_words))
     # u16 staging: halves the D2H volume of the symbol fetch
     return buf.astype(jnp.uint16), cursors, state
 
@@ -260,12 +274,10 @@ def serialize_frame(segments):
         max_len = int(lens.max(initial=0))
         if max_len >= MW - 2:
             raise OverflowError("device rANS lane buffer overflow")
-        # trim the staging width to a bucketed max lane length before
-        # writing it into the header: the decoder stages at this width,
-        # so a tight (but bucket-stable) MW keeps its upload small and
-        # its graphs shape-stable
-        MW = min(MW, (max_len // 8 + 1) * 8)
-        buf = buf[:, :MW]
+        # MW is the encoder's STATIC staging width (a bytes-per-symbol
+        # ladder step), recorded verbatim: the decoder stages at this
+        # width, so decode graphs compile once per ladder step — never
+        # per frame.  The data section itself stays compact (lens).
         lens16 = lens.astype(np.uint16)
         # decode-order words per lane = reversed emitted prefix
         buf_rev = buf[:, ::-1].astype(np.uint16)
@@ -359,11 +371,14 @@ def _unpack_static(stream, states_off, data_off, L, MW):
 # device decoder (lax.scan; one-hot matmul row lookup, masked reductions)
 # ---------------------------------------------------------------------------
 
-def _decode_scan(data, states, rows, cum_hl_sub):
-    """data: (L, MW) int32 lane u16 words in decode order; states: (L,)
-    uint32 initial states; rows: (L, K) int32 LOCAL row ids in decode
-    (original) order; cum_hl_sub: (nr, 514) bf16 hi/lo split rows.
-    Returns (L, K) int32 symbols in [-128, 127].
+def _decode_scan_carry(data, rows, cum_hl_sub, carry):
+    """One decode sub-scan with rANS state continuation.
+
+    data: (L, MW) int32 lane u16 words in decode order; rows: (L, K)
+    int32 LOCAL row ids in decode (original) order; cum_hl_sub:
+    (nr, 514) bf16 hi/lo split rows; carry: (state (L,) u32, ptr (L,)
+    i32) — segments decoded back-to-back share one lane state/pointer.
+    Returns (symbols (L, K) int32 in [-128, 127], carry).
 
     u16-renorm mirror of _encode_scan: the symbol search is a masked
     count over the 257 cumulative bins (rows are strictly increasing,
@@ -399,9 +414,16 @@ def _decode_scan(data, states, rows, cum_hl_sub):
         ptr = ptr + need.astype(jnp.int32)
         return (state, ptr), sym - 128
 
+    carry, out = lax.scan(body, carry, rows.T, unroll=2)
+    return out.T, carry  # (L, K)
+
+
+def _decode_scan(data, states, rows, cum_hl_sub):
+    """Single-segment decode (fresh carry).  Returns (L, K) symbols."""
+    L = data.shape[0]
     init = (states.astype(jnp.uint32), jnp.zeros((L,), jnp.int32))
-    _, out = lax.scan(body, init, rows.T, unroll=2)
-    return out.T  # (L, K)
+    out, _ = _decode_scan_carry(data, rows, cum_hl_sub, init)
+    return out
 
 
 class DeviceRansDecoder:

@@ -20,6 +20,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..layers import blocks as L
 from ..ops import fused as F
@@ -297,17 +298,26 @@ def _stage_pack_all(z_int8, packed0, packed1):
 
 
 def _lane_layout(sym, rows, lanes, reverse):
+    """Strided lane assignment: symbol i -> lane i % lanes.  Activity in
+    a frame is spatially clustered; striding spreads it evenly across
+    lanes so the max lane length (which sizes the staging buffer and the
+    D2H volume) hugs the mean instead of the hottest region."""
     n = sym.shape[0]
     k = -(-n // lanes)
     pad = lanes * k - n
     sym = jnp.concatenate([sym, jnp.zeros((pad,), sym.dtype)])
     rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
-    sym = sym.reshape(lanes, k)
-    rows = rows.reshape(lanes, k)
+    sym = sym.reshape(k, lanes).T
+    rows = rows.reshape(k, lanes).T
     if reverse:  # rANS encodes last-symbol-first within each lane
         sym = sym[:, ::-1]
         rows = rows[:, ::-1]
     return sym, rows
+
+
+def _lane_unlayout(sym_lanes, n):
+    """Inverse of the strided _lane_layout (decode order)."""
+    return sym_lanes.T.reshape(-1)[:n]
 
 
 def _z_rows(nz, c, qp, n_y_rows):
@@ -366,6 +376,123 @@ def _stage_recon_x(p, feature, qp):
 
 
 # ---------------------------------------------------------------------------
+# fused per-frame stages (device-EC fast path)
+#
+# On tunneled/remote devices every execution carries a fixed dispatch
+# overhead (~2 ms measured through the axon tunnel), so the production
+# path runs ONE compiled program per frame: all NN stages, the lane
+# layout, and the three rANS scans fused into a single executable.  The
+# split stage functions above remain the host-EC / test / parity path.
+# ---------------------------------------------------------------------------
+
+
+def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
+                    n_y_rows):
+    """Encoder megastage: frame + reference -> next ref feature + ONE
+    encoded lane segment (z, y0, y1 coded back-to-back per lane with
+    rANS state continuation, so the container carries a single set of
+    lane states/lengths).  Mirrors the per-stage pipeline of
+    compress_async (reference video_model.py:299-341) in one program.
+
+    Encode order per lane is reversed(y1), reversed(y0), reversed(z) —
+    the decoder consumes z, then y0, then y1."""
+    from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
+                                       encode_carry_init)
+    if from_feature:
+        feature = _stage_adaptor_p(p, ref)
+    else:
+        feature = _stage_adaptor_i(p, ref)
+    x1, ctx_t = _stage_fe_part1(p, feature, qp)
+    ctx = _stage_fe_part2(p, x1)
+    y, z_hat, z_int8 = _stage_encode_y(p, x, ctx, qp)
+    params_prior = _stage_prior(p, z_hat, ctx_t)
+    y_div, packed0, _, y_hat_0 = _stage_enc_pass0(y, params_prior, None)
+    scales1, means1 = _stage_spatial(p, y_hat_0, params_prior)
+    packed1, _, y_hat_1 = _stage_enc_pass1(y_div, scales1, means1, None)
+    feature_out = _stage_feature_out(p, y_hat_0, y_hat_1, params_prior,
+                                     ctx, qp)
+
+    carry = encode_carry_init(lanes, mw)
+    cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    for pk in (packed1, packed0):
+        flat = pk.reshape(-1).astype(jnp.int32)
+        sym_l, row_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
+        carry = _encode_scan_carry(sym_l, row_l, cum_y, carry)
+
+    c_z = z_int8.shape[-1]
+    z_sym = z_int8.reshape(-1).astype(jnp.int32)
+    z_rows = _z_rows(z_sym.shape[0], c_z, qp, n_y_rows)
+    sym_l, row_l = _lane_layout(z_sym, z_rows, lanes, True)
+    cum_sub, rows_local = _slice_rows(cum_hl, row_l, c_z,
+                                      n_y_rows + qp * c_z)
+    state, cursors, buf = _encode_scan_carry(sym_l, rows_local, cum_sub,
+                                             carry)
+    return feature_out, (buf.astype(jnp.uint16), cursors, state)
+
+
+def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature,
+                      zh, zw, lanes, n_y_rows, states_off, data_off,
+                      mw):
+    """Decoder megastage: staged lane stream + reference -> next ref
+    feature + reconstructed frame, fully on-device (one H2D upload, one
+    execution).  The single segment carries z, y0, y1 back-to-back per
+    lane; the three decode sub-scans share one rANS state/pointer carry.
+    Every shared stage is the same code the encoder megastage ran, so
+    the temporal chain stays bit-identical."""
+    from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
+                                       _unpack_static)
+    if from_feature:
+        feature = _stage_adaptor_p(p, ref)
+    else:
+        feature = _stage_adaptor_i(p, ref)
+    x1, ctx_t = _stage_fe_part1(p, feature, qp)
+
+    data, states = _unpack_static(staging, states_off, data_off,
+                                  lanes, mw)
+    carry = (states.astype(jnp.uint32),
+             jnp.zeros((lanes,), jnp.int32))
+
+    c_z = G_CH_Z
+    n_z = zh * zw * c_z
+    z_rows = _z_rows(n_z, c_z, qp, n_y_rows)
+    rows_l, _ = _lane_layout(z_rows, z_rows, lanes, False)
+    cum_sub, rows_local = _slice_rows(cum_hl, rows_l, c_z,
+                                      n_y_rows + qp * c_z)
+    z_syms, carry = _decode_scan_carry(data, rows_local, cum_sub, carry)
+    z_hat = _lane_unlayout(z_syms, n_z).reshape(1, zh, zw, c_z) \
+        .astype(x1.dtype)
+    params_prior = _stage_prior(p, z_hat, ctx_t)
+
+    cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    idx0, _ = _stage_dec_index0(params_prior, None)
+    ctx = _stage_fe_part2(p, x1)
+    _, ih, iw, ic = idx0.shape
+    n_y = ih * iw * ic
+    rows_l, _ = _lane_layout(idx0.reshape(-1).astype(jnp.int32),
+                             idx0.reshape(-1).astype(jnp.int32),
+                             lanes, False)
+    y0_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
+    y_q_r0 = _lane_unlayout(y0_syms, n_y).reshape(1, ih, iw, ic) \
+        .astype(x1.dtype)
+    y_hat_0 = _stage_dec_restore_2x(y_q_r0, params_prior, 0, True)
+
+    scales1, means1 = _stage_spatial(p, y_hat_0, params_prior)
+    idx1, _ = _stage_fold_index_2x(scales1, 1, None)
+    rows_l, _ = _lane_layout(idx1.reshape(-1).astype(jnp.int32),
+                             idx1.reshape(-1).astype(jnp.int32),
+                             lanes, False)
+    y1_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
+    y_q_r1 = _lane_unlayout(y1_syms, n_y).reshape(1, ih, iw, ic) \
+        .astype(x1.dtype)
+    y_hat_1 = _stage_dec_restore_2x(y_q_r1, means1, 1, False)
+
+    feature_out = _stage_feature_out(p, y_hat_0, y_hat_1, params_prior,
+                                     ctx, qp)
+    x_hat = _stage_recon_x(p, feature_out, qp)
+    return feature_out, x_hat
+
+
+# ---------------------------------------------------------------------------
 # DPB
 # ---------------------------------------------------------------------------
 
@@ -421,7 +548,7 @@ class DMC:
                                    static_argnums=(1,))
         dt = dtype
         self._j_plane_from = jax.jit(
-            lambda s, h, w, c: s.reshape(-1)[: h * w * c]
+            lambda s, h, w, c: _lane_unlayout(s, h * w * c)
             .reshape(1, h, w, c).astype(dt), static_argnums=(1, 2, 3))
         # device-side entropy coding (tpu-lane v2 format): opt-in
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
@@ -429,6 +556,11 @@ class DMC:
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
+        self._j_compress_frame = jax.jit(
+            _compress_frame, static_argnums=(5, 6, 7, 8))
+        self._j_decompress_frame = jax.jit(
+            _decompress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11,
+                                               12))
 
     # -- setup ---------------------------------------------------------------
 
@@ -448,6 +580,12 @@ class DMC:
         self.params = params
 
     def update(self, force_zero_thres=None):
+        if self.device_ec and force_zero_thres is not None:
+            raise ValueError(
+                "device-side entropy coding does not support "
+                "force_zero_thres (skip mode needs dynamic symbol "
+                "counts); unset OPENDCVC_TPU_DEVICE_EC to use the host "
+                "coder's skip mode")
         self.entropy_coder = EntropyCoder()
         self.force_zero_thres = force_zero_thres
         self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
@@ -526,6 +664,9 @@ class DMC:
         qp_dev = np.int32(qp)
         x = jnp.asarray(x, dtype=self.dtype)
 
+        if self.device_ec and fz is None:
+            return self._compress_async_device(x, qp, qp_dev)
+
         feature = self.apply_feature_adaptor()
         x1, ctx_t = self._j_fe_part1(p, feature, qp_dev)
         ctx = self._j_fe_part2(p, x1)
@@ -542,48 +683,6 @@ class DMC:
 
         n_z = int(np.prod(z_int8.shape))
         n_y = int(np.prod(packed0.shape))
-        if self.device_ec and fz is None:
-            # device-side rANS, one segment per plane (z, y0, y1) so the
-            # decoder can also run on-device pass by pass; only
-            # compressed bytes cross D2H
-            enc = self.device_encoder
-            z_base = np.int32(enc.n_y_rows + qp * G_CH_Z)
-            segs = []
-            sym_l, row_l = self._j_lane_z(z_int8, qp_dev, enc.n_y_rows,
-                                          self.z_lanes)
-            segs.append((sym_l, row_l, n_z, z_base, G_CH_Z))
-            for pk in (packed0, packed1):
-                sym_l, row_l = self._j_lane_y(pk, enc.lanes)
-                segs.append((sym_l, row_l, n_y, 0, None))
-            outs = [enc.encode(s, r, row_base=rb, nr=nr)
-                    for s, r, _, rb, nr in segs]
-            for trio in outs:
-                for a in trio:
-                    try:
-                        a.copy_to_host_async()
-                    except Exception:
-                        pass
-            self.add_ref_frame(feature_out, None)
-
-            def finish_device():
-                from ..entropy.device_rans import serialize_frame
-                flat = jax.device_get([a for trio in outs for a in trio])
-                frame_segs = []
-                for i, (sym_l, row_l, n, rb, nr) in enumerate(segs):
-                    b, ln, st = flat[3 * i:3 * i + 3]
-                    K = sym_l.shape[1]
-                    bps = enc.bytes_per_symbol
-                    while int(ln.max(initial=0)) >= b.shape[1] - 2:
-                        # rare hard frame: grow the staging buffer
-                        bps = min(bps * 2, 3.0)
-                        b, ln, st = jax.device_get(list(
-                            enc.encode(sym_l, row_l, bps, row_base=rb,
-                                       nr=nr)))
-                    frame_segs.append((b, ln, st, n, K))
-                return serialize_frame(frame_segs)
-
-            return finish_device
-
         if fz is None:
             flat = self._j_pack_all(z_int8, packed0, packed1)
             try:
@@ -616,6 +715,60 @@ class DMC:
 
         return finish
 
+    def _mw_for(self, n_sym, lanes, bps):
+        k = -(-n_sym // lanes)
+        return k, max(8, int(k * bps / 2)) + 4
+
+    def _compress_async_device(self, x, qp, qp_dev):
+        """Device-EC encode: ONE execution per frame (all NN stages +
+        lane layout + the three rANS scans fused), one async D2H of the
+        staged segments; rare staging overflows re-run the megastage at
+        the next bytes-per-symbol ladder step."""
+        p = self.params
+        enc = self.device_encoder
+        from_feature = self.dpb[0].feature is not None
+        ref = self.dpb[0].feature if from_feature \
+            else jnp.asarray(self.dpb[0].frame, self.dtype)
+
+        H, W = x.shape[1], x.shape[2]
+        n_y = (H // 16) * (W // 16) * G_CH_Y // 2
+        zh, zw = C.get_downsampled_shape(H, W, 64)
+        n_z = zh * zw * G_CH_Z
+        k_y = -(-n_y // enc.lanes)
+        k_z = -(-n_z // enc.lanes)
+        k_total = k_z + 2 * k_y
+        n_total = enc.lanes * k_total
+        bps = enc.bytes_per_symbol
+        _, mw = self._mw_for(n_total, enc.lanes, bps)
+
+        def run(mw):
+            return self._j_compress_frame(
+                p, x, ref, qp_dev, enc.cum_hl, from_feature, enc.lanes,
+                mw, enc.n_y_rows)
+
+        feature_out, trio = run(mw)
+        for a in trio:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        self.add_ref_frame(feature_out, None)
+
+        def finish_device():
+            from ..entropy.device_rans import serialize_frame
+            flat = jax.device_get(list(trio))
+            grown_bps = bps
+            while int(flat[1].max(initial=0)) >= flat[0].shape[1] - 2:
+                # rare hard frame: grow the staging buffer and re-run
+                grown_bps = min(grown_bps * 2, 3.0)
+                _, g_mw = self._mw_for(n_total, enc.lanes, grown_bps)
+                _, t = run(g_mw)
+                flat = jax.device_get(list(t))
+            b, ln, st = flat
+            return serialize_frame([(b, ln, st, n_total, k_total)])
+
+        return finish_device
+
     def compress(self, x, qp):
         finish = self.compress_async(x, qp)
         return {"bit_stream": finish()}
@@ -623,9 +776,8 @@ class DMC:
     # -- decompress ----------------------------------------------------------
 
     def _decompress_device(self, bit_stream, sps, qp):
-        """Device-EC decode: one H2D of the compressed segments; the lane
-        decoder + all restore passes run on-device (no per-pass symbol
-        transfers)."""
+        """Device-EC decode: one H2D of the staged segments and ONE
+        execution per frame (lane decoders + all NN stages fused)."""
         from ..entropy.device_rans import parse_frame
         p = self.params
         qp_dev = np.int32(qp)
@@ -635,36 +787,14 @@ class DMC:
         stream_dev = jnp.asarray(stream_np)  # ONE upload per frame
 
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
-        feature = self.apply_feature_adaptor()
-        x1, ctx_t = self._j_fe_part1(p, feature, qp_dev)
-
-        rows_z = self._j_rows_z(zh, zw, G_CH_Z, qp_dev,
-                                self.device_encoder.n_y_rows, self.z_lanes)
-        z_base = np.int32(self.device_encoder.n_y_rows + qp * G_CH_Z)
-        z_syms = dec.decode_segment(stream_dev, metas[0], rows_z,
-                                    row_base=z_base, nr=G_CH_Z)
-        z_hat = self._j_plane_from(z_syms, zh, zw, G_CH_Z)
-        params_prior = self._j_prior(p, z_hat, ctx_t)
-
-        idx0, _ = self._j_dec_index0(params_prior, None)
-        ctx = self._j_fe_part2(p, x1)
-        _, ih, iw, ic = idx0.shape
-        lanes = self.device_encoder.lanes
-        rows0 = self._j_rows_idx(idx0, lanes)
-        y0_syms = dec.decode_segment(stream_dev, metas[1], rows0)
-        y_q_r0 = self._j_plane_from(y0_syms, ih, iw, ic)
-        y_hat_0 = self._j_dec_restore(y_q_r0, params_prior, 0, True)
-
-        scales1, means1 = self._j_spatial(p, y_hat_0, params_prior)
-        idx1, _ = self._j_fold_index(scales1, 1, None)
-        rows1 = self._j_rows_idx(idx1, lanes)
-        y1_syms = dec.decode_segment(stream_dev, metas[2], rows1)
-        y_q_r1 = self._j_plane_from(y1_syms, ih, iw, ic)
-        y_hat_1 = self._j_dec_restore(y_q_r1, means1, 1, False)
-
-        feature_out = self._j_feature_out(p, y_hat_0, y_hat_1,
-                                          params_prior, ctx, qp_dev)
-        x_hat = self._j_recon_x(p, feature_out, qp_dev)
+        from_feature = self.dpb[0].feature is not None
+        ref = self.dpb[0].feature if from_feature \
+            else jnp.asarray(self.dpb[0].frame, self.dtype)
+        m = metas[0]
+        feature_out, x_hat = self._j_decompress_frame(
+            p, stream_dev, ref, qp_dev, dec.cum_hl, from_feature,
+            zh, zw, m["L"], dec.n_y_rows, m["states_off"],
+            m["data_off"], m["MW"])
         self.add_ref_frame(feature_out, x_hat)
         return {"x_hat": x_hat}
 

@@ -271,7 +271,7 @@ class DMCI:
                                    static_argnums=(1,))
         dt = dtype
         self._j_plane_from = jax.jit(
-            lambda s, h, w, c: s.reshape(-1)[: h * w * c]
+            lambda s, h, w, c: _D._lane_unlayout(s, h * w * c)
             .reshape(1, h, w, c).astype(dt), static_argnums=(1, 2, 3))
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")
@@ -308,6 +308,12 @@ class DMCI:
     def update(self, force_zero_thres=None):
         """Build CDF tables and bind the entropy coder (reference
         common_model.py:49-52)."""
+        if self.device_ec and force_zero_thres is not None:
+            raise ValueError(
+                "device-side entropy coding does not support "
+                "force_zero_thres (skip mode needs dynamic symbol "
+                "counts); unset OPENDCVC_TPU_DEVICE_EC to use the host "
+                "coder's skip mode")
         self.entropy_coder = EntropyCoder()
         self.force_zero_thres = force_zero_thres
         self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
