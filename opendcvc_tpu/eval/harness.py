@@ -422,6 +422,43 @@ def build_nets(args):
     return i_frame_net, p_frame_net
 
 
+def _run_jobs(jobs, args):
+    """Execute (sequence, rate) jobs, fanning out over `--worker N`
+    threads with one codec pair per worker (reference fans the same
+    job list over a spawned ProcessPoolExecutor with per-process model
+    init, test_video.py:381-442; threads suffice here because coder
+    state is per-instance and jit device execution drops the GIL)."""
+
+    def finalize(cur, result):
+        result = dict(result)
+        result['ds_name'] = cur['ds_name']
+        result['seq'] = cur['seq']
+        result['rate_idx'] = cur['rate_idx']
+        result['qp_i'] = cur['qp_i']
+        result['qp_p'] = cur['qp_p']
+        return result
+
+    n_workers = max(1, int(getattr(args, 'worker', 1) or 1))
+    if n_workers <= 1 or len(jobs) <= 1:
+        i_frame_net, p_frame_net = build_nets(args)
+        return [finalize(cur, run_one_point_with_stream(
+            p_frame_net, i_frame_net, cur)) for cur in jobs]
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    local = threading.local()
+
+    def run_job(cur):
+        if not hasattr(local, 'nets'):
+            local.nets = build_nets(args)
+        i_net, p_net = local.nets
+        return finalize(cur, run_one_point_with_stream(p_net, i_net, cur))
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        return list(pool.map(run_job, jobs))
+
+
 def main(argv=None):
     begin_time = time.time()
     args = parse_args(argv)
@@ -448,13 +485,11 @@ def main(argv=None):
     print(f"testing {rate_num} rates, using qp: "
           + ", ".join(str(q) for q in qp_i))
 
-    i_frame_net, p_frame_net = build_nets(args)
-
     root_path = args.force_root_path if args.force_root_path is not None \
         else config['root_path']
     config = config['test_classes']
 
-    results = []
+    jobs = []
     count_frames = 0
     count_sequences = 0
     for ds_name in config:
@@ -506,14 +541,9 @@ def main(argv=None):
                 cur['curr_json_path'] = \
                     cur['curr_bin_path'].replace('.bin', '.json')
 
-                result = run_one_point_with_stream(
-                    p_frame_net, i_frame_net, cur)
-                result['ds_name'] = ds_name
-                result['seq'] = seq
-                result['rate_idx'] = rate_idx
-                result['qp_i'] = cur['qp_i']
-                result['qp_p'] = cur['qp_p']
-                results.append(result)
+                jobs.append(cur)
+
+    results = _run_jobs(jobs, args)
 
     log_result = {}
     for res in results:

@@ -68,3 +68,35 @@ def test_harness_end_to_end(tiny_dataset, tmp_path):
     # bitstream files were written and are non-trivial
     bins = os.listdir(os.path.join(stream_path, "tiny"))
     assert any(b.endswith(".bin") for b in bins)
+
+
+def test_harness_worker_fanout_identical(tiny_dataset, tmp_path):
+    """--worker N must produce identical results to serial (reference
+    fans jobs over a process pool, test_video.py:439-442)."""
+    cfg_path, root = tiny_dataset
+    from opendcvc_tpu.eval.harness import main
+
+    outs = {}
+    for tag, workers in (("w1", "1"), ("w2", "2")):
+        out_json = str(tmp_path / f"out_{tag}.json")
+        main([
+            "--test_config", cfg_path,
+            "--output_path", out_json,
+            "--rate_num", "2",
+            "--qp_i", "10", "50",
+            "--qp_p", "10", "50",
+            "--stream_path", str(tmp_path / f"bins_{tag}"),
+            "--seed", "0",
+            "--worker", workers,
+        ])
+        with open(out_json) as f:
+            outs[tag] = json.load(f)
+
+    # timing fields differ run to run; everything else must match
+    def strip_times(d):
+        if isinstance(d, dict):
+            return {k: strip_times(v) for k, v in d.items()
+                    if "time" not in k}
+        return d
+
+    assert strip_times(outs["w1"]) == strip_times(outs["w2"])
