@@ -13,9 +13,11 @@ Design choices (TPU-first):
   * Explicit conv padding tuples reproduce torch's conv arithmetic exactly
     (torch 'padding=1' != XLA 'SAME' for stride 2).
   * The reference's runtime weight-fusion tricks (adaptor folded into
-    conv1, bias folded into depthwise bias; impl.cpp:18-44) become
-    load-time parameter transforms where beneficial — never runtime
-    mutation.
+    conv1, bias folded into depthwise bias; impl.cpp:18-44) are NOT
+    replicated: they exist to cut CUDA kernel launches, which have no
+    analogue under XLA — the adaptor and dc1 matmuls read the same
+    operand from the same fusion and launch overhead is zero.  Keeping
+    the reference's parameter layout keeps checkpoint porting 1:1.
 """
 
 import math

@@ -222,6 +222,38 @@ def hyper_dec_apply(p, z):
     return conv_apply(p["c3"], h, padding=1)
 
 
+def hem_spynet_init(key):
+    """HEM/TCM/DCVC-era ME_Spynet: 4 identical 7x7 MEBasic modules
+    (`moduleBasic` ModuleList, reference DCVC-HEM video_net.py:118-147)
+    — unlike FM's, which narrows to 5x5 at the finer levels."""
+    from .blocks_fm import me_basic_init
+    return {"moduleBasic": [me_basic_init(k, 7)
+                            for k in jax.random.split(key, 4)]}
+
+
+def hem_spynet_apply(p, im1, im2):
+    """Coarse-to-fine flow; every level (including the coarsest) warps
+    with the upsampled previous flow (zero at the start)."""
+    from .blocks_fm import me_basic_apply, _avg_pool2
+    from ..ops.warp import flow_warp, bilinear_resize_2x
+    im1_list = [im1]
+    im2_list = [im2]
+    for _ in range(3):
+        im1_list.append(_avg_pool2(im1_list[-1]))
+        im2_list.append(_avg_pool2(im2_list[-1]))
+    b, h8, w8, _ = im1_list[3].shape
+    flow = jnp.zeros((b, h8 // 2, w8 // 2, 2), im1.dtype)
+    for level in range(4):
+        idx = 3 - level
+        flow_up = bilinear_resize_2x(flow, up=True) * 2.0
+        flow = flow_up + me_basic_apply(
+            p["moduleBasic"][level],
+            jnp.concatenate((im1_list[idx],
+                             flow_warp(im2_list[idx], flow_up),
+                             flow_up), axis=-1), 7)
+    return flow
+
+
 def conv_lrelu_stack_init(key, channels, ksize=3):
     """Plain [conv3x3 + LeakyReLU(0.2)]*n + conv3x3 stack used by the HEM
     prior fusion / spatial prior nets."""

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..layers.blocks import conv_init, conv_apply, conv_transpose2x_apply
 from ..layers.gdn import gdn_init, gdn_apply
-from ..layers.blocks_fm import spynet_init, spynet_apply
+from ..layers.blocks_hem import hem_spynet_init as spynet_init, \
+    hem_spynet_apply as spynet_apply
 from ..layers.blocks_evc import lrelu
 from ..ops import fused as F
 from ..ops.warp import flow_warp

@@ -40,7 +40,7 @@ QP_NUM = 64
 def dmc_dc_init(key, anchor_num=4):
     ks = iter(jax.random.split(key, 96))
     p = {}
-    p["optic_flow"] = FM.spynet_init(next(ks))
+    p["optic_flow"] = H.hem_spynet_init(next(ks))
     aux = G_CH_1X + 3 + 2
     p["align"] = {
         "off1": conv_init(next(ks), aux, G_CH_2X, 3),
@@ -266,8 +266,10 @@ def contextual_decoder(p, y_hat, c2, c3, q):
 
 
 def recon_generation(p, res, c1):
+    # the reference passes the decoded residual as the FIRST cat operand
+    # (recon_generation_net(recon_image_feature, context1))
     r = p["recon"]
-    feat = conv_apply(r["first"], jnp.concatenate((c1, res), axis=-1),
+    feat = conv_apply(r["first"], jnp.concatenate((res, c1), axis=-1),
                       padding=1)
     feat = _dc_unet_apply(r["unet1"], feat)
     feat = _dc_unet_apply(r["unet2"], feat)
@@ -286,7 +288,7 @@ def ctx_hyper_enc_apply(hp, y_pad):
 # ---------------------------------------------------------------------------
 
 def _stage_mv_enc(p, x, ref_frame, ref_mv_feature, mv_q_enc):
-    est_mv = FM.spynet_apply(p["optic_flow"], x, ref_frame)
+    est_mv = H.hem_spynet_apply(p["optic_flow"], x, ref_frame)
     mv_y = mv_encoder(p, est_mv, ref_mv_feature, mv_q_enc)
     mv_z = H.hyper_enc_apply(p["mv_hyper_enc"], C.pad_for_y(mv_y))
     mv_z_hat, mv_z_int8 = F.round_and_to_int8(mv_z)

@@ -270,7 +270,12 @@ def context_fusion(p, c1, c2, c3):
 
 def offset_diversity(p, x, aux, flow, group_num=16, offset_num=2,
                      max_mag=40.0):
-    """Group-wise multi-offset warping with masks (video_model.py:26-63)."""
+    """Group-wise multi-offset warping with masks, channel-for-channel
+    faithful to the reference (video_model.py:26-63) so ported weights
+    reproduce its numerics.  The reference's `.view(B*G*O, 2, H, W)`
+    reads cat(o1, o2) PAIRWISE: unit u's (x, y) offsets are channels
+    (2u, 2u+1), units ordered u = o * G + g (from `x.repeat(1, O, ...)`)
+    — NOT o1 = all-x / o2 = all-y."""
     a = p["align"]
     b, h, w, c = x.shape
     out = FM.lrelu(conv_apply(a["off1"], aux, stride=2, padding=1), 0.1)
@@ -278,32 +283,25 @@ def offset_diversity(p, x, aux, flow, group_num=16, offset_num=2,
     out = conv_apply(a["off3"], out, padding=1)
     out = bilinear_resize_2x(out, up=True)
     go = group_num * offset_num
-    o1 = out[..., :go]
-    o2 = out[..., go:2 * go]
-    mask = jax.nn.sigmoid(out[..., 2 * go:])
-    # per (group, offset) flow = max_mag*tanh(o) + base flow
-    offx = max_mag * jnp.tanh(o1) + flow[..., 0:1]
-    offy = max_mag * jnp.tanh(o2) + flow[..., 1:2]
-
     cg = c // group_num
-    go = group_num * offset_num
-    # one batched warp over all (group, offset) units: fold them into the
-    # batch dim so the gather runs as a single fused op on device
-    xg = x.reshape(b, h, w, group_num, cg)
-    xg = jnp.tile(xg[:, :, :, :, None, :], (1, 1, 1, 1, offset_num, 1))
-    xg = xg.transpose(0, 3, 4, 1, 2, 5).reshape(b * go, h, w, cg)
-    # offsets/mask channel i corresponds to unit (g = i // offset_num,
-    # o = i % offset_num) — matching xg's (g, o) unit order
-    flows = jnp.stack((offx, offy), axis=-1)  # (b, h, w, go, 2)
+    # per-unit flow: tanh-scaled offsets + base flow tiled (fx, fy, ...)
+    offs = max_mag * jnp.tanh(out[..., :2 * go]) \
+        + jnp.tile(flow, (1, 1, 1, go))
+    flows = offs.reshape(b, h, w, go, 2)
     flows = flows.transpose(0, 3, 1, 2, 4).reshape(b * go, h, w, 2)
-    warped = flow_warp(xg, flows)
+    mask = jax.nn.sigmoid(out[..., 2 * go:])
     m = mask.transpose(0, 3, 1, 2).reshape(b * go, h, w, 1)
-    warped = warped * m
-    # fusion conv with groups=group_num: group g must see its offset_num
-    # warped copies contiguously -> (g, o, cg) channel order
-    warped = warped.reshape(b, group_num, offset_num, h, w, cg)
+    # one batched warp over all units folded into the batch dim; unit
+    # u = o * G + g warps group g's channels
+    xg = x.reshape(b, h, w, group_num, cg)
+    xg = jnp.tile(xg[:, :, :, None, :, :], (1, 1, 1, offset_num, 1, 1))
+    xg = xg.transpose(0, 3, 4, 1, 2, 5).reshape(b * go, h, w, cg)
+    warped = flow_warp(xg, flows) * m
+    # back to the reference's channel layout (o, g, cg) for the grouped
+    # fusion conv (`x.view(B, C*O, H, W)`)
+    warped = warped.reshape(b, offset_num, group_num, h, w, cg)
     warped = warped.transpose(0, 3, 4, 1, 2, 5).reshape(
-        b, h, w, group_num * offset_num * cg)
+        b, h, w, offset_num * group_num * cg)
     return conv_apply(a["fusion"], warped, groups=group_num)
 
 
@@ -332,8 +330,10 @@ def contextual_decoder(p, y_hat, c2, c3, q):
 
 
 def recon_generation(p, res, c1):
+    # the reference passes the decoded residual as the FIRST cat operand
+    # (recon_generation_net(recon_image_feature, context1))
     r = p["recon"]
-    feat = conv_apply(r["first"], jnp.concatenate((c1, res), axis=-1),
+    feat = conv_apply(r["first"], jnp.concatenate((res, c1), axis=-1),
                       padding=1)
     feat = FM.unet2_apply(r["unet1"], feat)
     feat = FM.unet2_apply(r["unet2"], feat)

@@ -19,7 +19,8 @@ from ..layers import blocks_hem as H
 from ..layers.blocks import conv_init, conv_apply
 from ..ops import fused as F
 from ..ops.warp import flow_warp, bilinear_resize_2x
-from ..layers.blocks_fm import spynet_init, spynet_apply
+from ..layers.blocks_hem import hem_spynet_init as spynet_init, \
+    hem_spynet_apply as spynet_apply
 from ..entropy.coder import EntropyCoder
 from ..entropy.models import BitEstimator, GaussianEncoder, \
     bit_estimator_init
@@ -74,7 +75,10 @@ def dmc_hem_init(key, anchor_num=4):
         "c3": conv_init(next(ks), CH_N * 2, CH_N, 3),
         "c4": conv_init(next(ks), CH_N, CH_M, 3),
     }
-    p["hyper_enc"] = H.hyper_enc_init(next(ks), CH_M, CH_N)
+    # contextual hyper enc is the SHORT 3-conv stack (video_model.py:
+    # 173-179), unlike the mv hyper's 5-conv tower
+    p["hyper_enc"] = H.conv_lrelu_stack_init(
+        next(ks), [CH_M, CH_N, CH_N, CH_N])
     # contextual hyper dec outputs 2*M channels
     p["hyper_dec"] = H.hyper_dec_init(next(ks), CH_M, CH_N, out_factor=2)
     p["temporal_prior"] = {
@@ -173,8 +177,10 @@ def contextual_decoder(p, y_hat, c2, c3):
 
 
 def recon_generation(p, res, c1):
+    # the reference passes the decoded residual as the FIRST cat operand
+    # (recon_generation_net(recon_image_feature, context1))
     r = p["recon"]
-    feat = conv_apply(r["first"], jnp.concatenate((c1, res), axis=-1),
+    feat = conv_apply(r["first"], jnp.concatenate((res, c1), axis=-1),
                       padding=1)
     feat = H.unet_apply(r["unet1"], feat)
     feat = H.unet_apply(r["unet2"], feat)
@@ -221,7 +227,10 @@ def _stage_motion_comp(p, mv_hat, ref_frame, ref_feature):
 
 def _stage_ctx_enc(p, x, c1, c2, c3, y_q):
     y = contextual_encoder(p, x, c1, c2, c3) / y_q
-    z = H.hyper_enc_apply(p["hyper_enc"], y)
+    he = p["hyper_enc"]
+    z = conv_apply(he[0], y, padding=1)
+    z = conv_apply(he[1], H.lrelu(z, 0.01), stride=2, padding=1)
+    z = conv_apply(he[2], H.lrelu(z, 0.01), stride=2, padding=1)
     z_hat, z_int8 = F.round_and_to_int8(z)
     return y, z_hat.astype(x.dtype), z_int8
 

@@ -16,7 +16,8 @@ import numpy as np
 from ..layers import blocks_hem as H
 from ..layers.blocks import conv_init, conv_apply, conv_transpose2x_apply
 from ..layers.gdn import gdn_init, gdn_apply
-from ..layers.blocks_fm import spynet_init, spynet_apply
+from ..layers.blocks_hem import hem_spynet_init as spynet_init, \
+    hem_spynet_apply as spynet_apply
 from ..ops import fused as F
 from ..ops.warp import flow_warp, bilinear_resize_2x
 from ..entropy.coder import EntropyCoder
@@ -274,8 +275,10 @@ def entropy_parameter(p, params):
 
 
 def recon_generation(p, res, c1):
+    # the reference passes the decoded residual as the FIRST cat operand
+    # (recon_generation_net(recon_image_feature, context1))
     r = p["recon"]
-    h = conv_apply(r["first"], jnp.concatenate((c1, res), axis=-1),
+    h = conv_apply(r["first"], jnp.concatenate((res, c1), axis=-1),
                    padding=1)
     h = H.res_block_apply(r["res1"], h)
     h = H.res_block_apply(r["res2"], h)

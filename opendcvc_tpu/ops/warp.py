@@ -56,11 +56,14 @@ def flow_warp(im, flow):
 
 
 def bilinear_resize_2x(x, up=True):
-    """Bilinear x2 up/down (half-pixel centers, i.e. align_corners=False —
-    matching the reference's F.interpolate convention)."""
+    """Bilinear x2 up/down with half-pixel centers (align_corners=False,
+    the reference's F.interpolate convention).
+
+    Downsampling: torch's bilinear downscale-by-2 samples output pixel i
+    at input position 2i + 0.5, i.e. the plain mean of each 2x2 block —
+    NOT an anti-aliased resize (jax.image.resize widens the kernel when
+    downscaling, which diverges from the reference)."""
     b, h, w, c = x.shape
     if up:
-        shape = (b, h * 2, w * 2, c)
-    else:
-        shape = (b, h // 2, w // 2, c)
-    return jax.image.resize(x, shape, method="bilinear")
+        return jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))

@@ -121,6 +121,375 @@ def port_dmci(sd):
     return p
 
 
+# ---------------------------------------------------------------------------
+# DCVC-HEM porting (reference DCVC-family/DCVC-HEM/src/models/{video_model,
+# video_net}.py + src/layers/layers.py parameter names)
+# ---------------------------------------------------------------------------
+
+def _hem_spynet(sd, prefix="optic_flow"):
+    return {"moduleBasic": [
+        {f"c{i}": _conv(sd, f"{prefix}.moduleBasic.{j}.conv{i}")
+         for i in range(1, 6)} for j in range(4)]}
+
+
+def _hem_res(sd, prefix):
+    """video_net ResBlock / layers ResidualBlock: conv1, conv2."""
+    return {"c1": _conv(sd, prefix + ".conv1"),
+            "c2": _conv(sd, prefix + ".conv2")}
+
+
+def _hem_rbs(sd, prefix):
+    """ResidualBlockWithStride: conv1, conv2, downsample."""
+    p = {"conv1": _conv(sd, prefix + ".conv1"),
+         "conv2": _conv(sd, prefix + ".conv2")}
+    if prefix + ".downsample.weight" in sd:
+        p["down"] = _conv(sd, prefix + ".downsample")
+    return p
+
+
+def _hem_rb(sd, prefix):
+    """layers ResidualBlock: conv1, conv2 (+ adaptor when in != out —
+    never the case in the HEM towers)."""
+    return {"c1": _conv(sd, prefix + ".conv1"),
+            "c2": _conv(sd, prefix + ".conv2")}
+
+
+def _hem_rbu(sd, prefix):
+    return {"subpel": _conv(sd, prefix + ".subpel_conv.0"),
+            "conv": _conv(sd, prefix + ".conv"),
+            "up": _conv(sd, prefix + ".upsample.0")}
+
+
+def _hem_se(sd, prefix):
+    """SELayer: two bias-free Linears; torch Linear weight is (out, in),
+    our matmul weights are (in, out)."""
+    return {"w1": jnp.asarray(_np(sd[prefix + ".fc.0.weight"]).T),
+            "w2": jnp.asarray(_np(sd[prefix + ".fc.2.weight"]).T)}
+
+
+def _hem_cbr(sd, prefix):
+    """ConvBlockResidual: conv.0, conv.2, conv.3 (SELayer), up_dim."""
+    return {"c1": _conv(sd, prefix + ".conv.0"),
+            "c2": _conv(sd, prefix + ".conv.2"),
+            "se": _hem_se(sd, prefix + ".conv.3"),
+            "up_dim": _conv(sd, prefix + ".up_dim")}
+
+
+def _hem_unet(sd, prefix):
+    return {"conv1": _hem_cbr(sd, prefix + ".conv1"),
+            "conv2": _hem_cbr(sd, prefix + ".conv2"),
+            "conv3": _hem_cbr(sd, prefix + ".conv3"),
+            "refine": [_hem_res(sd, f"{prefix}.context_refine.{i}")
+                       for i in range(4)],
+            "up3": _conv(sd, prefix + ".up3.0"),
+            "up_conv3": _hem_cbr(sd, prefix + ".up_conv3"),
+            "up2": _conv(sd, prefix + ".up2.0"),
+            "up_conv2": _hem_cbr(sd, prefix + ".up_conv2")}
+
+
+def _hem_hyper_enc(sd, prefix):
+    """5-conv hyper tower (video_net.py:251-262): indices 0,2,4,6,8."""
+    return [_conv(sd, f"{prefix}.{i}") for i in (0, 2, 4, 6, 8)]
+
+
+def _hem_hyper_dec(sd, prefix):
+    return {"c1": _conv(sd, prefix + ".0"),
+            "up1": _conv(sd, prefix + ".2.0"),
+            "c2": _conv(sd, prefix + ".4"),
+            "up2": _conv(sd, prefix + ".6.0"),
+            "c3": _conv(sd, prefix + ".8")}
+
+
+def _hem_stack(sd, prefix, n=3):
+    """conv+LeakyReLU(0.2) stacks: indices 0, 2, 4, ..."""
+    return [_conv(sd, f"{prefix}.{2 * i}") for i in range(n)]
+
+
+def _hem_vec(sd, name):
+    return jnp.asarray(_np(sd[name]).reshape(-1))
+
+
+def port_dmc_hem(sd):
+    """Reference DCVC-HEM video state dict -> opendcvc_tpu DMCHEM
+    params."""
+    p = {}
+    p["optic_flow"] = _hem_spynet(sd)
+    p["mv_encoder"] = {
+        "rbs1": _hem_rbs(sd, "mv_encoder.0"),
+        "rb1": _hem_rb(sd, "mv_encoder.1"),
+        "rbs2": _hem_rbs(sd, "mv_encoder.2"),
+        "rb2": _hem_rb(sd, "mv_encoder.3"),
+        "rbs3": _hem_rbs(sd, "mv_encoder.4"),
+        "rb3": _hem_rb(sd, "mv_encoder.5"),
+        "down": _conv(sd, "mv_encoder.6"),
+    }
+    p["mv_decoder"] = {
+        "rb1": _hem_rb(sd, "mv_decoder.0"),
+        "rbu1": _hem_rbu(sd, "mv_decoder.1"),
+        "rb2": _hem_rb(sd, "mv_decoder.2"),
+        "rbu2": _hem_rbu(sd, "mv_decoder.3"),
+        "rb3": _hem_rb(sd, "mv_decoder.4"),
+        "rbu3": _hem_rbu(sd, "mv_decoder.5"),
+        "rb4": _hem_rb(sd, "mv_decoder.6"),
+        "subpel": _conv(sd, "mv_decoder.7.0"),
+    }
+    p["mv_hyper_enc"] = _hem_hyper_enc(sd, "mv_hyper_prior_encoder")
+    p["mv_hyper_dec"] = _hem_hyper_dec(sd, "mv_hyper_prior_decoder")
+    p["mv_y_prior_fusion"] = _hem_stack(sd, "mv_y_prior_fusion")
+    p["mv_y_spatial_prior"] = _hem_stack(sd, "mv_y_spatial_prior")
+
+    p["feature_adaptor_I"] = _conv(sd, "feature_adaptor_I")
+    p["feature_adaptor_P"] = _conv(sd, "feature_adaptor_P")
+    p["feature_extractor"] = {
+        "c1": _conv(sd, "feature_extractor.conv1"),
+        "r1": _hem_res(sd, "feature_extractor.res_block1"),
+        "c2": _conv(sd, "feature_extractor.conv2"),
+        "r2": _hem_res(sd, "feature_extractor.res_block2"),
+        "c3": _conv(sd, "feature_extractor.conv3"),
+        "r3": _hem_res(sd, "feature_extractor.res_block3"),
+    }
+    p["ctx_fusion"] = {
+        "c3_up": _conv(sd, "context_fusion_net.conv3_up.0"),
+        "r3_up": _hem_res(sd, "context_fusion_net.res_block3_up"),
+        "c3_out": _conv(sd, "context_fusion_net.conv3_out"),
+        "r3_out": _hem_res(sd, "context_fusion_net.res_block3_out"),
+        "c2_up": _conv(sd, "context_fusion_net.conv2_up.0"),
+        "r2_up": _hem_res(sd, "context_fusion_net.res_block2_up"),
+        "c2_out": _conv(sd, "context_fusion_net.conv2_out"),
+        "r2_out": _hem_res(sd, "context_fusion_net.res_block2_out"),
+        "c1_out": _conv(sd, "context_fusion_net.conv1_out"),
+        "r1_out": _hem_res(sd, "context_fusion_net.res_block1_out"),
+    }
+    p["ctx_enc"] = {
+        "c1": _conv(sd, "contextual_encoder.conv1"),
+        "r1": _hem_res(sd, "contextual_encoder.res1"),
+        "c2": _conv(sd, "contextual_encoder.conv2"),
+        "r2": _hem_res(sd, "contextual_encoder.res2"),
+        "c3": _conv(sd, "contextual_encoder.conv3"),
+        "c4": _conv(sd, "contextual_encoder.conv4"),
+    }
+    p["hyper_enc"] = [_conv(sd, f"contextual_hyper_prior_encoder.{i}")
+                      for i in (0, 2, 4)]
+    p["hyper_dec"] = _hem_hyper_dec(sd, "contextual_hyper_prior_decoder")
+    p["temporal_prior"] = {
+        "c1": _conv(sd, "temporal_prior_encoder.0"),
+        "c2": _conv(sd, "temporal_prior_encoder.2"),
+    }
+    p["y_prior_fusion"] = _hem_stack(sd, "y_prior_fusion")
+    p["y_spatial_prior"] = _hem_stack(sd, "y_spatial_prior")
+    p["ctx_dec"] = {
+        "up1": _conv(sd, "contextual_decoder.up1.0"),
+        "up2": _conv(sd, "contextual_decoder.up2.0"),
+        "r1": _hem_res(sd, "contextual_decoder.res1"),
+        "up3": _conv(sd, "contextual_decoder.up3.0"),
+        "r2": _hem_res(sd, "contextual_decoder.res2"),
+        "up4": _conv(sd, "contextual_decoder.up4.0"),
+    }
+    p["recon"] = {
+        "first": _conv(sd, "recon_generation_net.first_conv"),
+        "unet1": _hem_unet(sd, "recon_generation_net.unet_1"),
+        "unet2": _hem_unet(sd, "recon_generation_net.unet_2"),
+        "head": _conv(sd, "recon_generation_net.recon_conv"),
+    }
+    for name in ("mv_y_q_basic", "mv_y_q_scale", "y_q_basic",
+                 "y_q_scale"):
+        p[name] = _hem_vec(sd, name)
+    p["bit_estimator_z"] = _bit_estimator(sd, "bit_estimator_z")
+    p["bit_estimator_z_mv"] = _bit_estimator(sd, "bit_estimator_z_mv")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# DCVC-FM porting (reference DCVC-family/DCVC-FM/src/models/{video_model,
+# layers, video_net}.py parameter names)
+# ---------------------------------------------------------------------------
+
+def _fm_dc(sd, prefix):
+    """FM DepthConv (FM layers.py:154-178): conv1.0, depth_conv, conv2."""
+    p = {"conv1": _conv(sd, prefix + ".conv1.0"),
+         "dw": _conv(sd, prefix + ".depth_conv"),
+         "conv2": _conv(sd, prefix + ".conv2")}
+    if prefix + ".adaptor.weight" in sd:
+        p["adaptor"] = _conv(sd, prefix + ".adaptor")
+    return p
+
+
+def _fm_dcb(sd, prefix):
+    """FM DepthConvBlock = DepthConv + ConvFFN (conv.0 / conv.2)."""
+    return {"dc": _fm_dc(sd, prefix + ".block.0"),
+            "ffn": {"c1": _conv(sd, prefix + ".block.1.conv.0"),
+                    "c2": _conv(sd, prefix + ".block.1.conv.2")}}
+
+
+def _fm_dcb4(sd, prefix):
+    """FM DepthConvBlock4 = DepthConv + ConvFFN3 (conv / conv_out)."""
+    return {"dc": _fm_dc(sd, prefix + ".block.0"),
+            "ffn": {"c": _conv(sd, prefix + ".block.1.conv"),
+                    "out": _conv(sd, prefix + ".block.1.conv_out")}}
+
+
+def _fm_rbs(sd, prefix):
+    """FM ResidualBlockWithStride: conv1, conv2, optional downsample."""
+    p = {"conv1": _conv(sd, prefix + ".conv1"),
+         "conv2": _conv(sd, prefix + ".conv2")}
+    if prefix + ".downsample.weight" in sd:
+        p["down"] = _conv(sd, prefix + ".downsample")
+    return p
+
+
+def _fm_rbu(sd, prefix):
+    """FM ResidualBlockUpsample: subpel_conv.0, conv, upsample.0."""
+    return {"subpel": _conv(sd, prefix + ".subpel_conv.0"),
+            "conv": _conv(sd, prefix + ".conv"),
+            "up": _conv(sd, prefix + ".upsample.0")}
+
+
+def _fm_res(sd, prefix):
+    """FM ResBlock (video_net.py:26-44): conv1, conv2."""
+    return {"conv1": _conv(sd, prefix + ".conv1"),
+            "conv2": _conv(sd, prefix + ".conv2")}
+
+
+def _fm_unet2(sd, prefix):
+    return {"conv1": _fm_dcb4(sd, prefix + ".conv1"),
+            "conv2": _fm_dcb4(sd, prefix + ".conv2"),
+            "conv3": _fm_dcb4(sd, prefix + ".conv3"),
+            "refine": [_fm_dcb4(sd, f"{prefix}.context_refine.{i}")
+                       for i in range(4)],
+            "up3": _conv(sd, prefix + ".up3.0"),
+            "up_conv3": _fm_dcb4(sd, prefix + ".up_conv3"),
+            "up2": _conv(sd, prefix + ".up2.0"),
+            "up_conv2": _fm_dcb4(sd, prefix + ".up_conv2")}
+
+
+def _fm_me_basic(sd, prefix):
+    return {f"c{i}": _conv(sd, f"{prefix}.conv{i}") for i in range(1, 6)}
+
+
+def _fm_q2(sd, name):
+    return jnp.asarray(_np(sd[name]).reshape(2))
+
+
+def port_dmc_fm(sd):
+    """Reference DCVC-FM video state dict -> opendcvc_tpu DMCFM params."""
+    p = {}
+    p["optic_flow"] = {name: _fm_me_basic(sd, f"optic_flow.{name}")
+                       for name in ("me_8x", "me_4x", "me_2x", "me_1x")}
+    p["align"] = {"off1": _conv(sd, "align.conv_offset.0"),
+                  "off2": _conv(sd, "align.conv_offset.2"),
+                  "off3": _conv(sd, "align.conv_offset.4"),
+                  "fusion": _conv(sd, "align.fusion")}
+    p["mv_enc"] = {
+        "enc1_rbs": _fm_rbs(sd, "mv_encoder.enc_1.0"),
+        "enc1_dcb": _fm_dcb4(sd, "mv_encoder.enc_1.1"),
+        "enc2": _fm_rbs(sd, "mv_encoder.enc_2"),
+        "adaptor_0": _fm_dcb4(sd, "mv_encoder.adaptor_0"),
+        "adaptor_1": _fm_dcb4(sd, "mv_encoder.adaptor_1"),
+        "enc3_rbs": _fm_rbs(sd, "mv_encoder.enc_3.0"),
+        "enc3_dcb": _fm_dcb4(sd, "mv_encoder.enc_3.1"),
+        "enc3_down": _conv(sd, "mv_encoder.enc_3.2"),
+    }
+    p["mv_dec"] = {
+        "dec1": [(_fm_dcb4 if i % 2 == 0 else _fm_rbu)(
+            sd, f"mv_decoder.dec_1.{i}") for i in range(5)],
+        "dec2": _fm_rbu(sd, "mv_decoder.dec_2"),
+        "dec3_dcb": _fm_dcb4(sd, "mv_decoder.dec_3.0"),
+        "dec3_subpel": _conv(sd, "mv_decoder.dec_3.1.0"),
+    }
+    p["mv_hyper_enc"] = {
+        "dcb": _fm_dcb4(sd, "mv_hyper_prior_encoder.0"),
+        "c1": _conv(sd, "mv_hyper_prior_encoder.1"),
+        "c2": _conv(sd, "mv_hyper_prior_encoder.3"),
+    }
+    p["mv_hyper_dec"] = [
+        _fm_rbu(sd, "mv_hyper_prior_decoder.0"),
+        _fm_rbu(sd, "mv_hyper_prior_decoder.1"),
+        _fm_dcb4(sd, "mv_hyper_prior_decoder.2"),
+    ]
+    p["mv_fusion_adaptor_0"] = _fm_dcb(sd, "mv_y_prior_fusion_adaptor_0")
+    p["mv_fusion_adaptor_1"] = _fm_dcb(sd, "mv_y_prior_fusion_adaptor_1")
+    p["mv_fusion"] = [_fm_dcb(sd, f"mv_y_prior_fusion.{i}")
+                      for i in range(2)]
+    for k in (1, 2, 3):
+        p[f"mv_sp_adaptor_{k}"] = _conv(
+            sd, f"mv_y_spatial_prior_adaptor_{k}")
+    p["mv_spatial_prior"] = [_fm_dcb(sd, f"mv_y_spatial_prior.{i}")
+                             for i in range(3)]
+
+    p["feature_adaptor_I"] = _conv(sd, "feature_adaptor_I")
+    p["feature_adaptor"] = [_conv(sd, f"feature_adaptor.{i}")
+                            for i in range(3)]
+    p["feature_extractor"] = {
+        "c1": _conv(sd, "feature_extractor.conv1"),
+        "r1": _fm_res(sd, "feature_extractor.res_block1"),
+        "c2": _conv(sd, "feature_extractor.conv2"),
+        "r2": _fm_res(sd, "feature_extractor.res_block2"),
+        "c3": _conv(sd, "feature_extractor.conv3"),
+        "r3": _fm_res(sd, "feature_extractor.res_block3"),
+    }
+    p["ctx_fusion"] = {
+        "c3_up": _conv(sd, "context_fusion_net.conv3_up.0"),
+        "r3_up": _fm_res(sd, "context_fusion_net.res_block3_up"),
+        "c3_out": _conv(sd, "context_fusion_net.conv3_out"),
+        "r3_out": _fm_res(sd, "context_fusion_net.res_block3_out"),
+        "c2_up": _conv(sd, "context_fusion_net.conv2_up.0"),
+        "r2_up": _fm_res(sd, "context_fusion_net.res_block2_up"),
+        "c2_out": _conv(sd, "context_fusion_net.conv2_out"),
+        "r2_out": _fm_res(sd, "context_fusion_net.res_block2_out"),
+        "c1_out": _conv(sd, "context_fusion_net.conv1_out"),
+        "r1_out": _fm_res(sd, "context_fusion_net.res_block1_out"),
+    }
+    p["ctx_enc"] = {
+        "c1": _conv(sd, "contextual_encoder.conv1"),
+        "r1": _fm_dcb4(sd, "contextual_encoder.res1"),
+        "c2": _conv(sd, "contextual_encoder.conv2"),
+        "r2": _fm_dcb4(sd, "contextual_encoder.res2"),
+        "c3": _conv(sd, "contextual_encoder.conv3"),
+        "c4": _conv(sd, "contextual_encoder.conv4"),
+    }
+    p["ctx_dec"] = {
+        "up1": _conv(sd, "contextual_decoder.up1.0"),
+        "up2": _conv(sd, "contextual_decoder.up2.0"),
+        "r1": _fm_dcb4(sd, "contextual_decoder.res1"),
+        "up3": _conv(sd, "contextual_decoder.up3.0"),
+        "r2": _fm_dcb4(sd, "contextual_decoder.res2"),
+        "up4": _conv(sd, "contextual_decoder.up4.0"),
+    }
+    p["recon"] = {
+        "first": _conv(sd, "recon_generation_net.first_conv"),
+        "unet1": _fm_unet2(sd, "recon_generation_net.unet_1"),
+        "unet2": _fm_unet2(sd, "recon_generation_net.unet_2"),
+        "head": _conv(sd, "recon_generation_net.recon_conv"),
+    }
+    p["hyper_enc"] = {
+        "dcb": _fm_dcb4(sd, "contextual_hyper_prior_encoder.0"),
+        "c1": _conv(sd, "contextual_hyper_prior_encoder.1"),
+        "c2": _conv(sd, "contextual_hyper_prior_encoder.3"),
+    }
+    p["hyper_dec"] = [
+        _fm_rbu(sd, "contextual_hyper_prior_decoder.0"),
+        _fm_rbu(sd, "contextual_hyper_prior_decoder.1"),
+        _fm_dcb4(sd, "contextual_hyper_prior_decoder.2"),
+    ]
+    p["temporal_prior"] = {
+        "c1": _conv(sd, "temporal_prior_encoder.0"),
+        "c2": _conv(sd, "temporal_prior_encoder.2"),
+    }
+    p["y_fusion_adaptor_0"] = _fm_dcb(sd, "y_prior_fusion_adaptor_0")
+    p["y_fusion_adaptor_1"] = _fm_dcb(sd, "y_prior_fusion_adaptor_1")
+    p["y_fusion"] = [_fm_dcb(sd, f"y_prior_fusion.{i}") for i in range(2)]
+    for k in (1, 2, 3):
+        p[f"y_sp_adaptor_{k}"] = _conv(sd, f"y_spatial_prior_adaptor_{k}")
+    p["y_spatial_prior"] = [_fm_dcb(sd, f"y_spatial_prior.{i}")
+                            for i in range(3)]
+
+    for name in ("mv_y_q_enc", "mv_y_q_dec", "y_q_enc", "y_q_dec"):
+        p[name] = _fm_q2(sd, name)
+    p["bit_estimator_z"] = _bit_estimator(sd, "bit_estimator_z")
+    p["bit_estimator_z_mv"] = _bit_estimator(sd, "bit_estimator_z_mv")
+    return p
+
+
 def port_dmc(sd):
     """Reference DMC (video) state dict -> opendcvc_tpu DMC params."""
     p = {}
