@@ -97,7 +97,11 @@ def main():
         f.block_until_ready()
     total_bits = 0
     pending = deque()
-    pool = ThreadPoolExecutor(max_workers=1)
+    # several finish workers: each frame's D2H fetch pays full link
+    # latency, so fetches of consecutive frames must be in flight
+    # together (results stay ordered — futures pop in submit order)
+    workers = int(os.environ.get("BENCH_FINISH_WORKERS", 4))
+    pool = ThreadPoolExecutor(max_workers=workers)
     t0 = time.perf_counter()
     for x in frames:
         pending.append(pool.submit(p_net.compress_async(x, 21)))

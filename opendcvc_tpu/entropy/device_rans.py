@@ -261,6 +261,60 @@ class DeviceRansEncoder:
 # device-side unpacking — one H2D per frame on decode
 # ---------------------------------------------------------------------------
 
+def densify_segment(buf, lens, states, cap):
+    """Device-side compaction of the encode staging: scatter each lane's
+    emitted words (reversed into decode order) back-to-back, lane-major —
+    the exact data layout of the v3 container.  The D2H fetch then
+    carries ~true-bpp bytes instead of the (L, MW) staging rectangle
+    (the tunnel link is bandwidth-bound at these sizes).
+
+    Returns ONE u16 vector: [dense words (cap) | lens (L) | state hi (L)
+    | state lo (L)].  Overflow (sum(lens) > cap) leaves the tail
+    truncated; the host detects it from the lens section and re-runs at
+    the next ladder step."""
+    L, MW = buf.shape
+    lens32 = lens.astype(jnp.int32)
+    offs = jnp.cumsum(lens32) - lens32  # exclusive, lane-major
+    col = jnp.arange(MW, dtype=jnp.int32)[None, :]
+    valid = col < lens32[:, None]
+    dst = offs[:, None] + (lens32[:, None] - 1 - col)
+    dst = jnp.where(valid, dst, cap)  # park invalid/overflow in the pad
+    dense = jnp.zeros((cap + 1,), jnp.int32)
+    dense = dense.at[dst.reshape(-1)].set(
+        buf.astype(jnp.int32).reshape(-1), mode="drop",
+        unique_indices=False)
+    return jnp.concatenate([
+        dense[:cap].astype(jnp.uint16),
+        lens.astype(jnp.uint16),
+        (states >> 16).astype(jnp.uint16),
+        (states & 0xFFFF).astype(jnp.uint16)])
+
+
+def undensify_packed(packed, cap, L):
+    """Host-side split of densify_segment's output (numpy)."""
+    dense = packed[:cap]
+    lens = packed[cap:cap + L].astype(np.int32)
+    states = (packed[cap + L:cap + 2 * L].astype(np.uint32) << 16) \
+        | packed[cap + 2 * L:cap + 3 * L].astype(np.uint32)
+    return dense, lens, states
+
+
+def serialize_frame_dense(dense, lens, states, n_symbols, K, MW):
+    """v3 container from an already-dense (decode-order, lane-major)
+    word vector — same wire format as serialize_frame."""
+    L = lens.shape[0]
+    total = int(lens.sum())
+    head = [np.uint8(1).tobytes(),
+            np.uint32(n_symbols).tobytes(),
+            np.uint16(L).tobytes(), np.uint16(K).tobytes(),
+            np.uint16(MW).tobytes(),
+            np.uint32(2 * total).tobytes()]
+    return b"".join(head + [lens.astype(np.uint16).tobytes(),
+                            states.astype(np.uint32).tobytes(),
+                            np.ascontiguousarray(dense[:total])
+                            .astype(np.uint16).tobytes()])
+
+
 def serialize_frame(segments):
     """segments: list of (buf_np (L,MW) int32 u16 words, lens_np (L,)
     word counts, states_np (L,), n_symbols, K).  Layout:

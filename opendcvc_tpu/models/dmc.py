@@ -387,7 +387,7 @@ def _stage_recon_x(p, feature, qp):
 
 
 def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
-                    n_y_rows):
+                    n_y_rows, cap):
     """Encoder megastage: frame + reference -> next ref feature + ONE
     encoded lane segment (z, y0, y1 coded back-to-back per lane with
     rANS state continuation, so the container carries a single set of
@@ -397,7 +397,7 @@ def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
     Encode order per lane is reversed(y1), reversed(y0), reversed(z) —
     the decoder consumes z, then y0, then y1."""
     from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
-                                       encode_carry_init)
+                                       densify_segment, encode_carry_init)
     if from_feature:
         feature = _stage_adaptor_p(p, ref)
     else:
@@ -427,7 +427,10 @@ def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
                                       n_y_rows + qp * c_z)
     state, cursors, buf = _encode_scan_carry(sym_l, rows_local, cum_sub,
                                              carry)
-    return feature_out, (buf.astype(jnp.uint16), cursors, state)
+    # compact + single-transfer: the tunnel link pays latency per array
+    # and ~18 MB/s bandwidth, so the frame result is ONE u16 vector of
+    # ~true-bpp size (dense decode-order words + lens + states)
+    return feature_out, densify_segment(buf, cursors, state, cap)
 
 
 def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature,
@@ -557,7 +560,7 @@ class DMC:
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
         self._j_compress_frame = jax.jit(
-            _compress_frame, static_argnums=(5, 6, 7, 8))
+            _compress_frame, static_argnums=(5, 6, 7, 8, 9))
         self._j_decompress_frame = jax.jit(
             _decompress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11,
                                                12))
@@ -719,6 +722,14 @@ class DMC:
         k = -(-n_sym // lanes)
         return k, max(8, int(k * bps / 2)) + 4
 
+    @staticmethod
+    def _cap_for(lanes, mw):
+        # dense-payload budget: sum(lens) <= lanes * max_len, and the
+        # strided lane layout keeps max_len near the MEAN lane length,
+        # so half the staging rectangle is a safe dense bound; the
+        # regrow ladder doubles it alongside mw on overflow
+        return max(4096, lanes * mw // 2)
+
     def _compress_async_device(self, x, qp, qp_dev):
         """Device-EC encode: ONE execution per frame (all NN stages +
         lane layout + the three rANS scans fused), one async D2H of the
@@ -740,32 +751,37 @@ class DMC:
         n_total = enc.lanes * k_total
         bps = enc.bytes_per_symbol
         _, mw = self._mw_for(n_total, enc.lanes, bps)
+        cap = self._cap_for(enc.lanes, mw)
 
-        def run(mw):
+        def run(mw, cap):
             return self._j_compress_frame(
                 p, x, ref, qp_dev, enc.cum_hl, from_feature, enc.lanes,
-                mw, enc.n_y_rows)
+                mw, enc.n_y_rows, cap)
 
-        feature_out, trio = run(mw)
-        for a in trio:
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
+        feature_out, packed = run(mw, cap)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
         self.add_ref_frame(feature_out, None)
 
         def finish_device():
-            from ..entropy.device_rans import serialize_frame
-            flat = jax.device_get(list(trio))
-            grown_bps = bps
-            while int(flat[1].max(initial=0)) >= flat[0].shape[1] - 2:
-                # rare hard frame: grow the staging buffer and re-run
-                grown_bps = min(grown_bps * 2, 3.0)
-                _, g_mw = self._mw_for(n_total, enc.lanes, grown_bps)
-                _, t = run(g_mw)
-                flat = jax.device_get(list(t))
-            b, ln, st = flat
-            return serialize_frame([(b, ln, st, n_total, k_total)])
+            from ..entropy.device_rans import (serialize_frame_dense,
+                                               undensify_packed)
+            arr = jax.device_get(packed)
+            g_mw, g_cap, g_bps = mw, cap, bps
+            dense, ln, st = undensify_packed(arr, g_cap, enc.lanes)
+            while int(ln.max(initial=0)) >= g_mw - 2 \
+                    or int(ln.sum()) > g_cap:
+                # rare hard frame: grow staging + dense cap, re-run
+                g_bps = min(g_bps * 2, 3.0)
+                _, g_mw = self._mw_for(n_total, enc.lanes, g_bps)
+                g_cap = self._cap_for(enc.lanes, g_mw)
+                _, t = run(g_mw, g_cap)
+                dense, ln, st = undensify_packed(
+                    jax.device_get(t), g_cap, enc.lanes)
+            return serialize_frame_dense(dense, ln, st, n_total, k_total,
+                                         g_mw)
 
         return finish_device
 

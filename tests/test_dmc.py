@@ -160,3 +160,54 @@ def test_feature_refresh_roundtrip(codecs):
             dec_p2.reset_ref_feature()
         d = dec_p2.decompress(stream, _sps(h, w, use_ada_i=use_ada_i), qp)
         np.testing.assert_array_equal(np.asarray(d["x_hat"]), ref)
+
+
+def test_gop_roundtrip_exact_bf16(codecs):
+    """The production path runs bfloat16: the encoder/decoder feature
+    chain and recon must stay bit-identical in bf16 too (the
+    xla_allow_excess_precision=false pin in opendcvc_tpu/__init__.py is
+    what makes shared stages round identically in differently-fused
+    programs)."""
+    i_net, p_net = codecs
+    h, w = 64, 64
+    frames = _frames(4, h, w, seed=9)
+    qp = 28
+
+    enc_i = DMCI(dtype=jnp.bfloat16)
+    enc_i.load_params(i_net.params)
+    enc_i.update()
+    enc_p = DMC(dtype=jnp.bfloat16)
+    enc_p.load_params(p_net.params)
+    enc_p.update()
+    enc_p.set_curr_poc(0)
+
+    streams = []
+    for idx, x in enumerate(frames):
+        x = jnp.asarray(x, jnp.bfloat16)
+        if idx == 0:
+            enc = enc_i.compress(x, qp)
+            enc_p.clear_dpb()
+            enc_p.add_ref_frame(None, enc["x_hat"])
+        else:
+            enc = enc_p.compress(x, qp)
+        streams.append(enc["bit_stream"])
+
+    dec_i = DMCI(dtype=jnp.bfloat16)
+    dec_i.load_params(i_net.params)
+    dec_i.update()
+    dec_p = DMC(dtype=jnp.bfloat16)
+    dec_p.load_params(p_net.params)
+    dec_p.update()
+    dec_p.set_curr_poc(0)
+    for idx, stream in enumerate(streams):
+        if idx == 0:
+            dec = dec_i.decompress(stream, _sps(h, w), qp)
+            dec_p.clear_dpb()
+            dec_p.add_ref_frame(None, dec["x_hat"])
+        else:
+            dec = dec_p.decompress(stream, _sps(h, w), qp)
+        assert np.all(np.isfinite(np.asarray(dec["x_hat"], np.float32)))
+
+    np.testing.assert_array_equal(
+        np.asarray(enc_p.dpb[0].feature, np.float32),
+        np.asarray(dec_p.dpb[0].feature, np.float32))
