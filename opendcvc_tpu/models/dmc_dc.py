@@ -409,9 +409,12 @@ class DMCDC:
     """DCVC-DC codec with explicit dpb dicts
     (ref_frame, ref_feature, ref_mv_feature, ref_y, ref_mv_y)."""
 
-    def __init__(self, anchor_num=4, dtype=jnp.float32):
+    def __init__(self, anchor_num=4, dtype=jnp.float32, ec_thread=False,
+                 stream_part=1):
         self.dtype = dtype
         self.anchor_num = anchor_num
+        self.stream_part = stream_part
+        self.ec_thread = ec_thread
         self.params = None
         self.entropy_coder = None
         self.bit_estimator_z = BitEstimator(1, G_CH_16X, support=50)
@@ -473,7 +476,12 @@ class DMCDC:
                 np.linspace(np.log(a[0]), np.log(a[-1]), QP_NUM))
 
     def update(self, force=False):
-        self.entropy_coder = EntropyCoder()
+        if self.stream_part > 1:
+            from ..entropy.nparts import NPartEntropyCoder
+            self.entropy_coder = NPartEntropyCoder(
+                self.stream_part, threaded=self.ec_thread or None)
+        else:
+            self.entropy_coder = EntropyCoder()
         self.gaussian_encoder.update(self.entropy_coder)
         self.bit_estimator_z.update(self.params["bit_estimator_z"],
                                     self.entropy_coder)

@@ -479,8 +479,11 @@ class DMCFM:
     with keys ref_frame, ref_feature, ref_mv_feature, ref_y, ref_mv_y
     (reference video_model.py:441-452)."""
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, ec_thread=False,
+                 stream_part=1):
         self.dtype = dtype
+        self.stream_part = stream_part
+        self.ec_thread = ec_thread
         self.params = None
         self.entropy_coder = None
         self.bit_estimator_z = BitEstimator(1, G_CH_Z, support=50)
@@ -534,7 +537,12 @@ class DMCFM:
         self.params = params
 
     def update(self, force=False):
-        self.entropy_coder = EntropyCoder()
+        if self.stream_part > 1:
+            from ..entropy.nparts import NPartEntropyCoder
+            self.entropy_coder = NPartEntropyCoder(
+                self.stream_part, threaded=self.ec_thread or None)
+        else:
+            self.entropy_coder = EntropyCoder()
         self.gaussian_encoder.update(self.entropy_coder)
         self.bit_estimator_z.update(self.params["bit_estimator_z"],
                                     self.entropy_coder)

@@ -54,3 +54,34 @@ def test_dc_fine_qp_ladder():
                                rtol=1e-6)
     np.testing.assert_allclose(net._fine["y_q_scale_enc"][-1], anchors[-1],
                                rtol=1e-6)
+
+
+def test_dc_roundtrip_stream_part_2():
+    """N-part stream split (reference DCVC-DC py_rans streamPart): the
+    same frame coded with stream_part=2 must roundtrip, and the framing
+    flag byte must match the reference layout."""
+    import jax.numpy as jnp
+    from opendcvc_tpu.models.dmc_dc import DMCDC
+
+    enc = DMCDC(stream_part=2)
+    enc.init_params(seed=3)
+    enc.update()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    ref = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    dpb = {"ref_frame": ref, "ref_feature": None,
+           "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+    out = enc.compress(x, dpb, q_in_ckpt=False, q_index=30, frame_idx=1)
+    stream = out["bit_stream"]
+    assert stream[0] >> 4 == 1  # two parts
+
+    dec = DMCDC(stream_part=2)
+    dec.load_params(enc.params)
+    dec.update()
+    dpb_d = {"ref_frame": ref, "ref_feature": None,
+             "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+    rec = dec.decompress(stream, dpb_d, 64, 64, q_in_ckpt=False,
+                         q_index=30, frame_idx=1)
+    np.testing.assert_array_equal(
+        np.asarray(out["dpb"]["ref_frame"], np.float32),
+        np.asarray(rec["dpb"]["ref_frame"], np.float32))
