@@ -297,6 +297,20 @@ def _stage_pack_all(z_int8, packed0, packed1):
                             packed0.reshape(-1), packed1.reshape(-1)])
 
 
+def _use_pallas_ec():
+    """Pallas rANS kernels (ops/pallas_rans.py): opt-in via
+    OPENDCVC_TPU_PALLAS_EC=1.  Both paths emit identical bytes.
+
+    Measured head-to-head at 1080p (v5e, 4096 lanes, 272 steps): the
+    kernel alone beats the XLA lax.scan 5.3 ms vs 11 ms, but embedded
+    in the per-frame megastage the custom-call boundary (operand
+    materialization + lost fusion) costs more than it saves — 26.8 ms
+    vs 17.3 ms full-megastage device time — so the XLA scan stays the
+    default until the megastage itself moves into the kernel."""
+    v = os.environ.get("OPENDCVC_TPU_PALLAS_EC")
+    return v is not None and v not in ("0", "false", "False")
+
+
 def _lane_layout(sym, rows, lanes, reverse):
     """Strided lane assignment: symbol i -> lane i % lanes.  Activity in
     a frame is spatially clustered; striding spreads it evenly across
@@ -318,6 +332,27 @@ def _lane_layout(sym, rows, lanes, reverse):
 def _lane_unlayout(sym_lanes, n):
     """Inverse of the strided _lane_layout (decode order)."""
     return sym_lanes.T.reshape(-1)[:n]
+
+
+def _lane_layout_t(sym, rows, lanes, reverse):
+    """Strided lane layout in the Pallas kernels' native (K, L)
+    step-major orientation (no transpose materialized)."""
+    n = sym.shape[0]
+    k = -(-n // lanes)
+    pad = lanes * k - n
+    sym = jnp.concatenate([sym, jnp.zeros((pad,), sym.dtype)])
+    rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+    sym = sym.reshape(k, lanes)
+    rows = rows.reshape(k, lanes)
+    if reverse:  # rANS encodes last-symbol-first within each lane
+        sym = sym[::-1]
+        rows = rows[::-1]
+    return sym, rows
+
+
+def _lane_unlayout_t(sym_kl, n):
+    """Inverse of _lane_layout_t (decode order, step-major input)."""
+    return sym_kl.reshape(-1)[:n]
 
 
 def _z_rows(nz, c, qp, n_y_rows):
@@ -387,7 +422,7 @@ def _stage_recon_x(p, feature, qp):
 
 
 def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
-                    n_y_rows, cap):
+                    n_y_rows, cap, use_pallas=False):
     """Encoder megastage: frame + reference -> next ref feature + ONE
     encoded lane segment (z, y0, y1 coded back-to-back per lane with
     rANS state continuation, so the container carries a single set of
@@ -412,21 +447,39 @@ def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
     feature_out = _stage_feature_out(p, y_hat_0, y_hat_1, params_prior,
                                      ctx, qp)
 
-    carry = encode_carry_init(lanes, mw)
     cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    planes = []  # (flat_sym, flat_rows) in encode order
     for pk in (packed1, packed0):
         flat = pk.reshape(-1).astype(jnp.int32)
-        sym_l, row_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
-        carry = _encode_scan_carry(sym_l, row_l, cum_y, carry)
+        planes.append((flat >> 8, flat & 255))
 
     c_z = z_int8.shape[-1]
     z_sym = z_int8.reshape(-1).astype(jnp.int32)
     z_rows = _z_rows(z_sym.shape[0], c_z, qp, n_y_rows)
-    sym_l, row_l = _lane_layout(z_sym, z_rows, lanes, True)
-    cum_sub, rows_local = _slice_rows(cum_hl, row_l, c_z,
-                                      n_y_rows + qp * c_z)
-    state, cursors, buf = _encode_scan_carry(sym_l, rows_local, cum_sub,
-                                             carry)
+    cum_sub, z_rows_local = _slice_rows(cum_hl, z_rows, c_z,
+                                        n_y_rows + qp * c_z)
+
+    if use_pallas:
+        # one fused VMEM-resident scan over all three planes (local z
+        # rows offset into a per-frame combined table), built directly
+        # in the kernel's native step-major layout
+        from ..ops.pallas_rans import encode_scan_pallas
+        cum_comb = jnp.concatenate([cum_y, cum_sub], axis=0)
+        pieces = [_lane_layout_t(s, r, lanes, True) for s, r in
+                  planes + [(z_sym, z_rows_local + n_y_rows)]]
+        sym_all = jnp.concatenate([p[0] for p in pieces], axis=0)
+        rows_all = jnp.concatenate([p[1] for p in pieces], axis=0)
+        buf, cursors, state = encode_scan_pallas(sym_all, rows_all,
+                                                 cum_comb, mw)
+        buf = buf.astype(jnp.int32)
+    else:
+        carry = encode_carry_init(lanes, mw)
+        for s, r in planes:
+            sym_l, row_l = _lane_layout(s, r, lanes, True)
+            carry = _encode_scan_carry(sym_l, row_l, cum_y, carry)
+        sym_l, row_l = _lane_layout(z_sym, z_rows_local, lanes, True)
+        state, cursors, buf = _encode_scan_carry(sym_l, row_l,
+                                                 cum_sub, carry)
     # compact + single-transfer: the tunnel link pays latency per array
     # and ~18 MB/s bandwidth, so the frame result is ONE u16 vector of
     # ~true-bpp size (dense decode-order words + lens + states)
@@ -435,7 +488,7 @@ def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
 
 def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature,
                       zh, zw, lanes, n_y_rows, states_off, data_off,
-                      mw):
+                      mw, use_pallas=False):
     """Decoder megastage: staged lane stream + reference -> next ref
     feature + reconstructed frame, fully on-device (one H2D upload, one
     execution).  The single segment carries z, y0, y1 back-to-back per
@@ -455,15 +508,27 @@ def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature,
     carry = (states.astype(jnp.uint32),
              jnp.zeros((lanes,), jnp.int32))
 
+    def dec_seg(rows_flat, cum, carry):
+        """Decode one plane from FLAT row ids; returns flat symbols."""
+        n = rows_flat.shape[0]
+        if use_pallas:
+            from ..ops.pallas_rans import decode_scan_pallas
+            rows_t, _ = _lane_layout_t(rows_flat, rows_flat, lanes,
+                                       False)
+            syms_t, st, ptr = decode_scan_pallas(
+                data, rows_t, rows_t.shape[0], cum, carry[0], carry[1])
+            return _lane_unlayout_t(syms_t, n), (st, ptr)
+        rows_l, _ = _lane_layout(rows_flat, rows_flat, lanes, False)
+        syms, carry = _decode_scan_carry(data, rows_l, cum, carry)
+        return _lane_unlayout(syms, n), carry
+
     c_z = G_CH_Z
     n_z = zh * zw * c_z
     z_rows = _z_rows(n_z, c_z, qp, n_y_rows)
-    rows_l, _ = _lane_layout(z_rows, z_rows, lanes, False)
-    cum_sub, rows_local = _slice_rows(cum_hl, rows_l, c_z,
-                                      n_y_rows + qp * c_z)
-    z_syms, carry = _decode_scan_carry(data, rows_local, cum_sub, carry)
-    z_hat = _lane_unlayout(z_syms, n_z).reshape(1, zh, zw, c_z) \
-        .astype(x1.dtype)
+    cum_sub, z_rows_local = _slice_rows(cum_hl, z_rows, c_z,
+                                        n_y_rows + qp * c_z)
+    z_syms, carry = dec_seg(z_rows_local, cum_sub, carry)
+    z_hat = z_syms.reshape(1, zh, zw, c_z).astype(x1.dtype)
     params_prior = _stage_prior(p, z_hat, ctx_t)
 
     cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
@@ -471,22 +536,16 @@ def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature,
     ctx = _stage_fe_part2(p, x1)
     _, ih, iw, ic = idx0.shape
     n_y = ih * iw * ic
-    rows_l, _ = _lane_layout(idx0.reshape(-1).astype(jnp.int32),
-                             idx0.reshape(-1).astype(jnp.int32),
-                             lanes, False)
-    y0_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
-    y_q_r0 = _lane_unlayout(y0_syms, n_y).reshape(1, ih, iw, ic) \
-        .astype(x1.dtype)
+    y0_syms, carry = dec_seg(idx0.reshape(-1).astype(jnp.int32),
+                             cum_y, carry)
+    y_q_r0 = y0_syms.reshape(1, ih, iw, ic).astype(x1.dtype)
     y_hat_0 = _stage_dec_restore_2x(y_q_r0, params_prior, 0, True)
 
     scales1, means1 = _stage_spatial(p, y_hat_0, params_prior)
     idx1, _ = _stage_fold_index_2x(scales1, 1, None)
-    rows_l, _ = _lane_layout(idx1.reshape(-1).astype(jnp.int32),
-                             idx1.reshape(-1).astype(jnp.int32),
-                             lanes, False)
-    y1_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
-    y_q_r1 = _lane_unlayout(y1_syms, n_y).reshape(1, ih, iw, ic) \
-        .astype(x1.dtype)
+    y1_syms, carry = dec_seg(idx1.reshape(-1).astype(jnp.int32),
+                             cum_y, carry)
+    y_q_r1 = y1_syms.reshape(1, ih, iw, ic).astype(x1.dtype)
     y_hat_1 = _stage_dec_restore_2x(y_q_r1, means1, 1, False)
 
     feature_out = _stage_feature_out(p, y_hat_0, y_hat_1, params_prior,
@@ -560,10 +619,10 @@ class DMC:
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
         self._j_compress_frame = jax.jit(
-            _compress_frame, static_argnums=(5, 6, 7, 8, 9))
+            _compress_frame, static_argnums=(5, 6, 7, 8, 9, 10))
         self._j_decompress_frame = jax.jit(
             _decompress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                               12))
+                                               12, 13))
 
     # -- setup ---------------------------------------------------------------
 
@@ -753,12 +812,12 @@ class DMC:
         _, mw = self._mw_for(n_total, enc.lanes, bps)
         cap = self._cap_for(enc.lanes, mw)
 
-        def run(mw, cap):
+        def run(mw, cap, use_pallas):
             return self._j_compress_frame(
                 p, x, ref, qp_dev, enc.cum_hl, from_feature, enc.lanes,
-                mw, enc.n_y_rows, cap)
+                mw, enc.n_y_rows, cap, use_pallas)
 
-        feature_out, packed = run(mw, cap)
+        feature_out, packed = run(mw, cap, _use_pallas_ec())
         try:
             packed.copy_to_host_async()
         except Exception:
@@ -777,7 +836,10 @@ class DMC:
                 g_bps = min(g_bps * 2, 3.0)
                 _, g_mw = self._mw_for(n_total, enc.lanes, g_bps)
                 g_cap = self._cap_for(enc.lanes, g_mw)
-                _, t = run(g_mw, g_cap)
+                # regrow re-runs on the XLA scan path: overflow frames
+                # are rare and each extra Pallas (mw, cap) config would
+                # cost a fresh multi-minute Mosaic compile
+                _, t = run(g_mw, g_cap, False)
                 dense, ln, st = undensify_packed(
                     jax.device_get(t), g_cap, enc.lanes)
             return serialize_frame_dense(dense, ln, st, n_total, k_total,
@@ -810,7 +872,7 @@ class DMC:
         feature_out, x_hat = self._j_decompress_frame(
             p, stream_dev, ref, qp_dev, dec.cum_hl, from_feature,
             zh, zw, m["L"], dec.n_y_rows, m["states_off"],
-            m["data_off"], m["MW"])
+            m["data_off"], m["MW"], _use_pallas_ec())
         self.add_ref_frame(feature_out, x_hat)
         return {"x_hat": x_hat}
 
