@@ -81,13 +81,19 @@ class SyntheticVideoDataset:
         self.rng = np.random.default_rng(seed)
 
     def batches(self, batch_size, steps):
+        s = self.size
         for _ in range(steps):
-            base = self.rng.random(
-                (batch_size, self.size, self.size, 3)).astype(np.float32)
+            # smooth moving textures: per-pixel uniform noise is
+            # incompressible and unlearnable — low-frequency content
+            # (random low-res fields upsampled) is what a codec can
+            # actually model
+            lo = self.rng.random(
+                (batch_size, s // 8, s // 8, 3)).astype(np.float32)
+            base = np.kron(lo, np.ones((1, 8, 8, 1), np.float32))
+            base = np.clip(base + self.rng.normal(
+                0, 0.02, base.shape).astype(np.float32), 0, 1)
             frames = []
             for t in range(self.t):
                 f = np.roll(base, 2 * t, axis=2)
-                f = np.clip(f + self.rng.normal(
-                    0, 0.01, f.shape).astype(np.float32), 0, 1)
                 frames.append(f)
             yield np.stack(frames, axis=1)  # (B, T, H, W, 3)

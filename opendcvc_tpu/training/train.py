@@ -26,21 +26,38 @@ def rd_loss(out, lmbda):
     return lmbda * out["mse"] + out["bpp"]
 
 
-def make_dmci_loss(lmbda, qp_sampler=None, quant_mode="ste"):
+def lmbda_for_qp(qp, lmbda_min, lmbda_max, qp_num=64):
+    """Log-interpolated rate-point ladder: the reference trains one
+    model per lambda in {256..2048} (DCVC train scripts); the banked
+    single-model generations instead tie each QP row to a matched
+    lambda — without this the per-QP banks receive identical gradients
+    and never differentiate."""
+    import jax.numpy as jnp
+    t = qp.astype(jnp.float32) / (qp_num - 1)
+    return jnp.exp(jnp.log(lmbda_min)
+                   + t * (jnp.log(lmbda_max) - jnp.log(lmbda_min)))
+
+
+def make_dmci_loss(lmbda, qp_sampler=None, quant_mode="ste",
+                   lmbda_max=None):
     def loss_fn(params, batch, qp, rng):
         out = dmci_forward(params, batch, qp, rng, quant_mode)
-        loss = rd_loss(out, lmbda)
+        lm = lmbda if lmbda_max is None else \
+            lmbda_for_qp(qp, lmbda, lmbda_max)
+        loss = rd_loss(out, lm)
         metrics = {"loss": loss, "mse": out["mse"], "bpp": out["bpp"],
                    "bpp_y": out["bpp_y"], "bpp_z": out["bpp_z"]}
         return loss, metrics
     return loss_fn
 
 
-def make_dmc_loss(lmbda, quant_mode="ste"):
+def make_dmc_loss(lmbda, quant_mode="ste", lmbda_max=None):
     """Cascaded multi-frame loss: frames (B,T,H,W,C); the first frame is
     the (frozen-I) reference; gradients flow through the feature chain
     (stage-4-style end-to-end training, reference train loop :199-277)."""
     def loss_fn(params, frames, qp, rng):
+        lmbda_q = lmbda if lmbda_max is None else \
+            lmbda_for_qp(qp, lmbda, lmbda_max)
         ref = frames[:, 0]
         n_frames = frames.shape[1] - 1
         rngs = jax.random.split(rng, n_frames)
@@ -50,7 +67,7 @@ def make_dmc_loss(lmbda, quant_mode="ste"):
         for t in range(n_frames):
             out = dmc_forward_one_frame(params, frames[:, t + 1], ref,
                                         feature, qp, rngs[t], quant_mode)
-            total = total + rd_loss(out, lmbda)
+            total = total + rd_loss(out, lmbda_q)
             metrics["mse"] += out["mse"] / n_frames
             metrics["bpp"] += out["bpp"] / n_frames
             feature = out["feature"]

@@ -35,3 +35,11 @@ assert jax.devices()[0].platform == "cpu", (
     "before conftest could force JAX_PLATFORMS=cpu")
 assert len(jax.devices()) >= 8, (
     "xla_force_host_platform_device_count=8 did not take effect")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-second end-to-end roundtrips; deselect with "
+        "-m 'not slow' for a fast gate (the full suite stays the "
+        "default)")

@@ -1,11 +1,13 @@
 """Original DCVC codec: autoregressive entropy model roundtrip."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opendcvc_tpu.models.dcvc import DCVCNet
 
 
+@pytest.mark.slow
 def test_dcvc_ar_roundtrip():
     net = DCVCNet()
     net.init_params(seed=0)

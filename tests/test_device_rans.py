@@ -80,6 +80,7 @@ def test_device_decode_matches(tables):
     np.testing.assert_array_equal(decoded, sym)
 
 
+@pytest.mark.slow
 def test_dmc_device_ec_roundtrip_matches_classic():
     """Device-EC compress+decompress must reproduce exactly the frames
     the classic host-rANS path produces (same symbols, different
@@ -123,6 +124,7 @@ def test_dmc_device_ec_roundtrip_matches_classic():
     np.testing.assert_array_equal(d2, c2)
 
 
+@pytest.mark.slow
 def test_dmci_device_ec_roundtrip_matches_classic():
     """Device-EC image compress+decompress must reproduce exactly the
     frames the classic host-rANS path produces."""

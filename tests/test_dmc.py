@@ -162,6 +162,7 @@ def test_feature_refresh_roundtrip(codecs):
         np.testing.assert_array_equal(np.asarray(d["x_hat"]), ref)
 
 
+@pytest.mark.slow
 def test_gop_roundtrip_exact_bf16(codecs):
     """The production path runs bfloat16: the encoder/decoder feature
     chain and recon must stay bit-identical in bf16 too (the

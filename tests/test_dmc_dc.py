@@ -1,11 +1,13 @@
 """DCVC-DC codec roundtrip with cyclic feature adaptors and fine QP."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opendcvc_tpu.models.dmc_dc import DMCDC
 
 
+@pytest.mark.slow
 def test_dc_gop_roundtrip():
     net = DMCDC()
     net.init_params(seed=0)

@@ -21,6 +21,7 @@ def test_flow_warp_identity_and_shift():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hw", [(64, 64)])
 def test_fm_gop_roundtrip(hw):
     h, w = hw

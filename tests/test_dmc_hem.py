@@ -1,12 +1,14 @@
 """DCVC-HEM codec + IntraNoAR roundtrips."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opendcvc_tpu.models.dmc_hem import DMCHEM
 from opendcvc_tpu.models.intra_no_ar import IntraNoAR
 
 
+@pytest.mark.slow
 def test_intra_no_ar_roundtrip():
     m = IntraNoAR(N=192)
     m.init_params(seed=0)
@@ -21,6 +23,7 @@ def test_intra_no_ar_roundtrip():
                                   np.asarray(dec["x_hat"]))
 
 
+@pytest.mark.slow
 def test_hem_gop_roundtrip():
     net = DMCHEM()
     net.init_params(seed=1)

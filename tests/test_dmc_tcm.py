@@ -1,6 +1,7 @@
 """DCVC-TCM codec roundtrip (sequential dense coding, GDN towers)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opendcvc_tpu.models.dmc_tcm import DMCTCM
@@ -28,6 +29,7 @@ def test_lower_bound_gradient():
     assert float(g) == 1.0  # above bound, passes
 
 
+@pytest.mark.slow
 def test_tcm_gop_roundtrip():
     net = DMCTCM()
     net.init_params(seed=0)

@@ -1,11 +1,13 @@
 """DCVC-FM intra codec roundtrip."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opendcvc_tpu.models.dmci_fm import DMCIFM
 
 
+@pytest.mark.slow
 def test_fm_intra_roundtrip():
     m = DMCIFM()
     m.init_params(seed=0)

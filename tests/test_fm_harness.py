@@ -7,6 +7,7 @@ import pytest
 from PIL import Image
 
 
+@pytest.mark.slow
 def test_fm_harness_end_to_end(tmp_path):
     seq_dir = tmp_path / "data" / "seqA"
     seq_dir.mkdir(parents=True)

@@ -34,6 +34,7 @@ def test_dmci_forward_finite(dmci_params):
     assert out["x_hat"].shape == x.shape
 
 
+@pytest.mark.slow
 def test_dmci_grad_nonzero(dmci_params):
     loss_fn = make_dmci_loss(lmbda=256.0)
     x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 3)),
@@ -58,6 +59,7 @@ def test_dmc_forward_chain(dmc_params):
     assert np.isfinite(float(out2["bpp"]))
 
 
+@pytest.mark.slow
 def test_train_step_descends(dmci_params):
     loss_fn = make_dmci_loss(lmbda=256.0)
     tx = make_optimizer(base_lr=1e-4)
@@ -91,6 +93,7 @@ def test_graft_entry_compiles():
     jax.block_until_ready(out)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dryrun_multichip():
     import __graft_entry__ as ge

@@ -40,6 +40,9 @@ def parse_args():
                    help="frames per training sample (>=2 for dmc)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--lmbda", type=float, default=256.0)
+    p.add_argument("--lmbda_max", type=float, default=None,
+                   help="per-qp lambda ladder: log-interpolate "
+                        "[lmbda, lmbda_max] over the 64 QPs")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--schedule", type=str, default="cosine",
                    choices=["constant", "step", "multistep", "cosine"])
@@ -88,14 +91,16 @@ def main():
     start_step = 0
     if args.model == "dmci":
         params = dmci_init(jax.random.PRNGKey(args.seed))
-        loss_fn_img = make_dmci_loss(args.lmbda, quant_mode=args.quant_mode)
+        loss_fn_img = make_dmci_loss(args.lmbda, quant_mode=args.quant_mode,
+                                     lmbda_max=args.lmbda_max)
 
         def loss_fn(params, frames, qp, rng):
             # use the first frame of each clip as an image
             return loss_fn_img(params, frames[:, 0], qp, rng)
     else:
         params = dmc_init(jax.random.PRNGKey(args.seed))
-        loss_fn = make_dmc_loss(args.lmbda, quant_mode=args.quant_mode)
+        loss_fn = make_dmc_loss(args.lmbda, quant_mode=args.quant_mode,
+                                lmbda_max=args.lmbda_max)
 
     tx = make_optimizer(args.lr, args.schedule, args.steps,
                         args.warmup_steps, args.grad_clip)
