@@ -35,16 +35,18 @@ def dmc_tcm_init(key):
     p = {}
     p["optic_flow"] = spynet_init(next(ks))
 
-    # mv encoder: 4x [conv s2 + GDN + ResBlock(+lrelu)] (video_net_dmc.py:176-190)
+    # mv encoder: 3x [conv s2 + GDN + ResBlock + lrelu] + final conv s2
+    # (video_net_dmc.py:178-193 — the last level is conv-only)
     p["mv_enc"] = []
     in_ch = 2
-    for _ in range(4):
+    for _ in range(3):
         p["mv_enc"].append({
             "conv": conv_init(next(ks), in_ch, CH_MV, 3),
             "gdn": gdn_init(next(ks), CH_MV),
             "res": H.res_block_init(next(ks), CH_MV),
         })
         in_ch = CH_MV
+    p["mv_enc"].append({"conv": conv_init(next(ks), CH_MV, CH_MV, 3)})
     p["mv_prior_enc"] = [conv_init(next(ks), CH_MV, CH_N, 3),
                          conv_init(next(ks), CH_N, CH_N, 3),
                          conv_init(next(ks), CH_N, CH_N, 3)]
@@ -145,12 +147,10 @@ def mv_encoder(p, mv):
     h = mv
     for blk in p["mv_enc"]:
         h = conv_apply(blk["conv"], h, stride=2, padding=1)
-        h = gdn_apply(blk["gdn"], h)
-        h = H.res_block_apply(blk["res"], h, start_from_relu=False)
-        h = H.lrelu(h, 0.1)
-    # the final stage in the reference has no trailing activation beyond
-    # the conv; the extra lrelu on the last level is harmless for a
-    # self-trained model but we mirror the reference structure:
+        if "gdn" in blk:
+            h = gdn_apply(blk["gdn"], h)
+            h = H.res_block_apply(blk["res"], h, start_from_relu=False)
+            h = H.lrelu(h, 0.1)
     return h
 
 

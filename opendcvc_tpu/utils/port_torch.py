@@ -300,6 +300,124 @@ def port_dmc_hem(sd):
 
 
 # ---------------------------------------------------------------------------
+# DCVC-TCM porting (reference DCVC-family/DCVC-TCM/src/models/
+# video_net_dmc.py parameter names)
+# ---------------------------------------------------------------------------
+
+def _deconv(sd, prefix):
+    """torch ConvTranspose2d (I,O,kh,kw) -> our input-dilated-conv
+    weight: spatial flip + in/out swap gives (kh,kw,I,O)."""
+    w = _np(sd[prefix + ".weight"])            # (I, O, kh, kw)
+    w = w.transpose(2, 3, 0, 1)[::-1, ::-1]    # (kh, kw, I, O), rot180
+    b = _np(sd[prefix + ".bias"])
+    return {"w": jnp.asarray(np.ascontiguousarray(w)),
+            "b": jnp.asarray(b)}
+
+
+def _gdn(sd, prefix):
+    """GDN: beta (C,), gamma (C_out, C_in) — our einsum consumes the
+    torch orientation directly."""
+    return {"beta": jnp.asarray(_np(sd[prefix + ".beta"])),
+            "gamma": jnp.asarray(_np(sd[prefix + ".gamma"]))}
+
+
+def port_dmc_tcm(sd):
+    """Reference DCVC-TCM state dict -> opendcvc_tpu DMCTCM params."""
+    p = {}
+    p["optic_flow"] = _hem_spynet(sd)
+    p["mv_enc"] = [
+        {"conv": _conv(sd, f"mv_encoder.{4 * i}"),
+         "gdn": _gdn(sd, f"mv_encoder.{4 * i + 1}"),
+         "res": _hem_res(sd, f"mv_encoder.{4 * i + 2}")}
+        for i in range(3)
+    ] + [{"conv": _conv(sd, "mv_encoder.12")}]
+    p["mv_prior_enc"] = [_conv(sd, f"mv_prior_encoder.{i}")
+                         for i in (0, 2, 4)]
+    p["mv_prior_dec"] = [_deconv(sd, "mv_prior_decoder.0"),
+                         _deconv(sd, "mv_prior_decoder.2"),
+                         _deconv(sd, "mv_prior_decoder.4")]
+    p["mv_dec"] = {
+        "t1": _deconv(sd, "mv_decoder.0"),
+        "res": _hem_res(sd, "mv_decoder.2"),
+        "gdn1": _gdn(sd, "mv_decoder.3"),
+        "t2": _deconv(sd, "mv_decoder.4"),
+        "gdn2": _gdn(sd, "mv_decoder.5"),
+        "t3": _deconv(sd, "mv_decoder.6"),
+        "gdn3": _gdn(sd, "mv_decoder.7"),
+        "t4": _deconv(sd, "mv_decoder.8"),
+    }
+    p["feature_adaptor_I"] = _conv(sd, "feature_adaptor_I")
+    p["feature_adaptor_P"] = _conv(sd, "feature_adaptor_P")
+    p["feature_extractor"] = {
+        "c1": _conv(sd, "feature_extractor.conv1"),
+        "r1": _hem_res(sd, "feature_extractor.res_block1"),
+        "c2": _conv(sd, "feature_extractor.conv2"),
+        "r2": _hem_res(sd, "feature_extractor.res_block2"),
+        "c3": _conv(sd, "feature_extractor.conv3"),
+        "r3": _hem_res(sd, "feature_extractor.res_block3"),
+    }
+    p["ctx_fusion"] = {
+        "c3_up": _conv(sd, "context_fusion_net.conv3_up.0"),
+        "r3_up": _hem_res(sd, "context_fusion_net.res_block3_up"),
+        "c3_out": _conv(sd, "context_fusion_net.conv3_out"),
+        "r3_out": _hem_res(sd, "context_fusion_net.res_block3_out"),
+        "c2_up": _conv(sd, "context_fusion_net.conv2_up.0"),
+        "r2_up": _hem_res(sd, "context_fusion_net.res_block2_up"),
+        "c2_out": _conv(sd, "context_fusion_net.conv2_out"),
+        "r2_out": _hem_res(sd, "context_fusion_net.res_block2_out"),
+        "c1_out": _conv(sd, "context_fusion_net.conv1_out"),
+        "r1_out": _hem_res(sd, "context_fusion_net.res_block1_out"),
+    }
+    p["ctx_enc"] = {
+        "c1": _conv(sd, "contextual_encoder.conv1"),
+        "g1": _gdn(sd, "contextual_encoder.gdn1"),
+        "r1": _hem_res(sd, "contextual_encoder.res1"),
+        "c2": _conv(sd, "contextual_encoder.conv2"),
+        "g2": _gdn(sd, "contextual_encoder.gdn2"),
+        "r2": _hem_res(sd, "contextual_encoder.res2"),
+        "c3": _conv(sd, "contextual_encoder.conv3"),
+        "g3": _gdn(sd, "contextual_encoder.gdn3"),
+        "c4": _conv(sd, "contextual_encoder.conv4"),
+    }
+    p["ctx_dec"] = {
+        "up1": _conv(sd, "contextual_decoder.up1.0"),
+        "g1": _gdn(sd, "contextual_decoder.gdn1"),
+        "up2": _conv(sd, "contextual_decoder.up2.0"),
+        "g2": _gdn(sd, "contextual_decoder.gdn2"),
+        "r1": _hem_res(sd, "contextual_decoder.res1"),
+        "up3": _conv(sd, "contextual_decoder.up3.0"),
+        "g3": _gdn(sd, "contextual_decoder.gdn3"),
+        "r2": _hem_res(sd, "contextual_decoder.res2"),
+        "up4": _conv(sd, "contextual_decoder.up4.0"),
+    }
+    p["hyper_enc"] = [_conv(sd, f"contextual_hyper_prior_encoder.{i}")
+                      for i in (0, 2, 4)]
+    p["hyper_dec"] = [_deconv(sd, "contextual_hyper_prior_decoder.0"),
+                      _deconv(sd, "contextual_hyper_prior_decoder.2"),
+                      _deconv(sd, "contextual_hyper_prior_decoder.4")]
+    p["temporal_prior"] = {
+        "c1": _conv(sd, "temporal_prior_encoder.conv1"),
+        "g1": _gdn(sd, "temporal_prior_encoder.gdn1"),
+        "c2": _conv(sd, "temporal_prior_encoder.conv2"),
+        "g2": _gdn(sd, "temporal_prior_encoder.gdn2"),
+        "c3": _conv(sd, "temporal_prior_encoder.conv3"),
+        "g3": _gdn(sd, "temporal_prior_encoder.gdn3"),
+        "c4": _conv(sd, "temporal_prior_encoder.conv4"),
+    }
+    p["entropy_parameter"] = [
+        _conv(sd, f"contextual_entropy_parameter.{i}") for i in (0, 2, 4)]
+    p["recon"] = {
+        "first": _conv(sd, "recon_generation_net.feature_conv.0"),
+        "res1": _hem_res(sd, "recon_generation_net.feature_conv.1"),
+        "res2": _hem_res(sd, "recon_generation_net.feature_conv.2"),
+        "head": _conv(sd, "recon_generation_net.recon_conv"),
+    }
+    p["bit_estimator_z"] = _bit_estimator(sd, "bit_estimator_z")
+    p["bit_estimator_z_mv"] = _bit_estimator(sd, "bit_estimator_z_mv")
+    return p
+
+
+# ---------------------------------------------------------------------------
 # DCVC-FM porting (reference DCVC-family/DCVC-FM/src/models/{video_model,
 # layers, video_net}.py parameter names)
 # ---------------------------------------------------------------------------

@@ -519,3 +519,121 @@ def test_dmc_hem_port_shapes():
         [k for k in shapes_p if k in shapes_o
          and shapes_p[k] != shapes_o[k]][:5])
     assert len(flat_p) == len(tnet.state_dict())
+
+
+def test_dmc_tcm_parity_with_reference_torch():
+    """DCVC-TCM numerics vs the reference (reference
+    DCVC-family/DCVC-TCM/src/models/video_net_dmc.py): SpyNet, GDN
+    mv enc/dec towers (incl. ConvTranspose2d porting), motion
+    compensation, contextual enc, hyper + temporal priors, entropy
+    parameters, recon."""
+    torch = pytest.importorskip("torch")
+    _use_ref_tree("DCVC-family/DCVC-TCM")
+    from src.models.video_net_dmc import DMC as TorchTCM
+    import jax.numpy as jnp
+    from opendcvc_tpu.models import dmc_tcm as M
+    from opendcvc_tpu.models.dmc_tcm import DMCTCM
+    from opendcvc_tpu.utils.port_torch import port_dmc_tcm
+
+    torch.manual_seed(2)
+    tnet = TorchTCM()
+    tnet.eval()
+
+    rng = np.random.default_rng(21)
+    x_np = rng.random((1, 64, 64, 3), dtype=np.float32)
+    ref_np = rng.random((1, 64, 64, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        x_t = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        ref_t = torch.from_numpy(ref_np.transpose(0, 3, 1, 2))
+        flow_t = tnet.optic_flow(x_t, ref_t)
+        mv_y_t = tnet.mv_encoder(flow_t)
+        mv_z_t = tnet.mv_prior_encoder(mv_y_t)
+        mv_z_hat_t = torch.round(mv_z_t)
+        mv_params_t = tnet.mv_prior_decoder(mv_z_hat_t)
+        mv_y_hat_t = torch.round(mv_y_t)
+        mv_hat_t = tnet.mv_decoder(mv_y_hat_t)
+        c1_t, c2_t, c3_t, warp_t = tnet.motion_compensation(
+            ref_t, None, mv_hat_t)
+        y_t = tnet.contextual_encoder(x_t, c1_t, c2_t, c3_t)
+        z_t = tnet.contextual_hyper_prior_encoder(y_t)
+        z_hat_t = torch.round(z_t)
+        hier_t = tnet.contextual_hyper_prior_decoder(z_hat_t)
+        temporal_t = tnet.temporal_prior_encoder(c1_t, c2_t, c3_t)
+        gp_t = tnet.contextual_entropy_parameter(
+            torch.cat((temporal_t, hier_t), dim=1))
+        y_hat_t = torch.round(y_t)
+        res_t = tnet.contextual_decoder(y_hat_t, c2_t, c3_t)
+        feat_t, recon_t = tnet.recon_generation_net(res_t, c1_t)
+        recon_t = recon_t.clamp(0, 1)
+
+    net = DMCTCM()
+    net.load_params(port_dmc_tcm(tnet.state_dict()))
+    p = net.params
+
+    x_j = jnp.asarray(x_np)
+    ref_j = jnp.asarray(ref_np)
+    mv_y_j, mv_z_hat_j, _ = M._stage_mv_enc(p, x_j, ref_j)
+    d = np.abs(np.asarray(mv_y_j) - _t2j(mv_y_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+    zh_j, zh_t = np.asarray(mv_z_hat_j), _t2j(mv_z_hat_t)
+    assert np.mean(zh_j != zh_t) < 1e-3
+
+    scales_j, means_j = M._stage_mv_params(p, jnp.asarray(zh_t))
+    mp_ref = _t2j(mv_params_t)
+    got = np.concatenate([np.asarray(scales_j), np.asarray(means_j)], -1)
+    d = np.abs(got - mp_ref)
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    mv_hat_j = M._stage_mv_dec(p, jnp.asarray(_t2j(mv_y_hat_t)))
+    d = np.abs(np.asarray(mv_hat_j) - _t2j(mv_hat_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    c1_j, c2_j, c3_j, warp_j = M._stage_motion_comp(
+        p, jnp.asarray(_t2j(mv_hat_t)), ref_j, None)
+    for ours, ref in ((c1_j, c1_t), (c2_j, c2_t), (c3_j, c3_t),
+                      (warp_j, warp_t)):
+        d = np.abs(np.asarray(ours) - _t2j(ref))
+        assert np.max(d) < 5e-3, float(np.max(d))
+
+    y_j, z_hat_j, _ = M._stage_ctx_enc(p, x_j, c1_j, c2_j, c3_j)
+    d = np.abs(np.asarray(y_j) - _t2j(y_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    scales_j, means_j = M._stage_y_params(p, jnp.asarray(_t2j(z_hat_t)),
+                                          c1_j, c2_j, c3_j)
+    gp_ref = _t2j(gp_t)
+    got = np.concatenate([np.asarray(scales_j), np.asarray(means_j)], -1)
+    d = np.abs(got - gp_ref)
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    feat_j, x_hat_j = M._stage_recon(p, jnp.asarray(_t2j(y_hat_t)),
+                                     c1_j, c2_j, c3_j)
+    d = np.abs(np.asarray(x_hat_j) - _t2j(recon_t))
+    assert np.mean(d) < 1e-3 and np.percentile(d, 99.9) < 2e-2, \
+        (float(np.mean(d)), float(np.max(d)))
+
+
+def test_dmc_tcm_port_shapes():
+    torch = pytest.importorskip("torch")
+    _use_ref_tree("DCVC-family/DCVC-TCM")
+    from src.models.video_net_dmc import DMC as TorchTCM
+    import jax
+    from opendcvc_tpu.models.dmc_tcm import DMCTCM
+    from opendcvc_tpu.utils.port_torch import port_dmc_tcm
+
+    torch.manual_seed(5)
+    tnet = TorchTCM()
+    ported = port_dmc_tcm(tnet.state_dict())
+    net = DMCTCM()
+    net.init_params(seed=0)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(ported)
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(net.params)
+    shapes_p = {jax.tree_util.keystr(k): v.shape for k, v in flat_p}
+    shapes_o = {jax.tree_util.keystr(k): v.shape for k, v in flat_o}
+    assert shapes_p == shapes_o, (
+        sorted(set(shapes_o) - set(shapes_p))[:5],
+        sorted(set(shapes_p) - set(shapes_o))[:5],
+        [k for k in shapes_p if k in shapes_o
+         and shapes_p[k] != shapes_o[k]][:5])
+    assert len(flat_p) == len(tnet.state_dict())
