@@ -202,9 +202,12 @@ def hyper_enc_apply(p, y):
     return conv_apply(p[4], h, stride=2, padding=1)
 
 
-def hyper_dec_init(key, y_channel, z_channel, out_factor=2):
+def hyper_dec_init(key, y_channel, z_channel, out_factor=2, mid=None):
+    """mid defaults to the HEM generation's widening (y*3//2); the DC
+    generation keeps the tower uniform (mid = y)."""
     ks = jax.random.split(key, 5)
-    mid = y_channel * 3 // 2
+    if mid is None:
+        mid = y_channel * 3 // 2
     return {
         "c1": conv_init(ks[0], z_channel, y_channel, 3),
         "up1": subpel1x1_init(ks[1], y_channel, y_channel),

@@ -70,7 +70,7 @@ def dmc_dc_init(key, anchor_num=4):
     }
     p["mv_hyper_enc"] = H.hyper_enc_init(next(ks), CH_MV, CH_N)
     p["mv_hyper_dec"] = H.hyper_dec_init(next(ks), CH_MV, CH_N,
-                                         out_factor=1)
+                                         out_factor=1, mid=CH_MV)
     p["mv_fusion_adaptor_0"] = FM.dcb_init(next(ks), CH_MV, CH_MV * 2)
     p["mv_fusion_adaptor_1"] = FM.dcb_init(next(ks), CH_MV * 2, CH_MV * 2)
     p["mv_fusion"] = [FM.dcb_init(next(ks), CH_MV * 2, CH_MV * 3),
@@ -136,7 +136,7 @@ def dmc_dc_init(key, anchor_num=4):
         "c2": conv_init(next(ks), G_CH_16X, G_CH_16X, 3),
     }
     p["hyper_dec"] = H.hyper_dec_init(next(ks), G_CH_16X, G_CH_16X,
-                                      out_factor=1)
+                                      out_factor=1, mid=G_CH_16X)
     p["temporal_prior"] = {
         "c1": conv_init(next(ks), G_CH_4X, G_CH_8X, 3),
         "c2": conv_init(next(ks), G_CH_8X, G_CH_16X, 3),

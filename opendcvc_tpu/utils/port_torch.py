@@ -608,6 +608,144 @@ def port_dmc_fm(sd):
     return p
 
 
+# ---------------------------------------------------------------------------
+# DCVC-DC porting (reference DCVC-family/DCVC-DC/src/models/{video_model,
+# layers, video_net}.py parameter names; DC's DepthConvBlock has the same
+# sublayer names as FM's, so the _fm_* helpers apply)
+# ---------------------------------------------------------------------------
+
+def _dc_hyper_dec(sd, prefix):
+    """get_hyper_enc_dec_models dec (DC video_net.py:239-250): conv,
+    subpel1x1 (.2.0), conv, subpel1x1 (.6.0), conv — uniform width."""
+    return {"c1": _conv(sd, prefix + ".0"),
+            "up1": _conv(sd, prefix + ".2.0"),
+            "c2": _conv(sd, prefix + ".4"),
+            "up2": _conv(sd, prefix + ".6.0"),
+            "c3": _conv(sd, prefix + ".8")}
+
+
+def _dc_unet(sd, prefix):
+    return {"conv1": _fm_dcb(sd, prefix + ".conv1"),
+            "conv2": _fm_dcb(sd, prefix + ".conv2"),
+            "conv3": _fm_dcb(sd, prefix + ".conv3"),
+            "refine": [_fm_dcb(sd, f"{prefix}.context_refine.{i}")
+                       for i in range(4)],
+            "up3": _conv(sd, prefix + ".up3.0"),
+            "up_conv3": _fm_dcb(sd, prefix + ".up_conv3"),
+            "up2": _conv(sd, prefix + ".up2.0"),
+            "up_conv2": _fm_dcb(sd, prefix + ".up_conv2")}
+
+
+def port_dmc_dc(sd):
+    """Reference DCVC-DC video state dict -> opendcvc_tpu DMCDC
+    params."""
+    p = {}
+    p["optic_flow"] = _hem_spynet(sd)
+    p["align"] = {"off1": _conv(sd, "align.conv_offset.0"),
+                  "off2": _conv(sd, "align.conv_offset.2"),
+                  "off3": _conv(sd, "align.conv_offset.4"),
+                  "fusion": _conv(sd, "align.fusion")}
+    p["mv_enc"] = {
+        "enc1_rbs": _fm_rbs(sd, "mv_encoder.enc_1.0"),
+        "enc1_dcb": _fm_dcb(sd, "mv_encoder.enc_1.1"),
+        "enc2": _fm_rbs(sd, "mv_encoder.enc_2"),
+        "adaptor_0": _fm_dcb(sd, "mv_encoder.adaptor_0"),
+        "adaptor_1": _fm_dcb(sd, "mv_encoder.adaptor_1"),
+        "enc3_rbs": _fm_rbs(sd, "mv_encoder.enc_3.0"),
+        "enc3_dcb": _fm_dcb(sd, "mv_encoder.enc_3.1"),
+        "enc3_down": _conv(sd, "mv_encoder.enc_3.2"),
+    }
+    p["mv_dec"] = {
+        "dec1": [(_fm_dcb if i % 2 == 0 else _fm_rbu)(
+            sd, f"mv_decoder.dec_1.{i}") for i in range(5)],
+        "dec2": _fm_rbu(sd, "mv_decoder.dec_2"),
+        "dec3_dcb": _fm_dcb(sd, "mv_decoder.dec_3.0"),
+        "dec3_subpel": _conv(sd, "mv_decoder.dec_3.1.0"),
+    }
+    p["mv_hyper_enc"] = _hem_hyper_enc(sd, "mv_hyper_prior_encoder")
+    p["mv_hyper_dec"] = _dc_hyper_dec(sd, "mv_hyper_prior_decoder")
+    p["mv_fusion_adaptor_0"] = _fm_dcb(sd, "mv_y_prior_fusion_adaptor_0")
+    p["mv_fusion_adaptor_1"] = _fm_dcb(sd, "mv_y_prior_fusion_adaptor_1")
+    p["mv_fusion"] = [_fm_dcb(sd, f"mv_y_prior_fusion.{i}")
+                      for i in range(2)]
+    for k in (1, 2, 3):
+        p[f"mv_sp_adaptor_{k}"] = _conv(
+            sd, f"mv_y_spatial_prior_adaptor_{k}")
+    p["mv_spatial_prior"] = [_fm_dcb(sd, f"mv_y_spatial_prior.{i}")
+                             for i in range(3)]
+
+    p["feature_adaptor_I"] = _conv(sd, "feature_adaptor_I")
+    p["feature_adaptor"] = [_conv(sd, f"feature_adaptor.{i}")
+                            for i in range(3)]
+    p["feature_extractor"] = {
+        "c1": _conv(sd, "feature_extractor.conv1"),
+        "r1": _fm_res(sd, "feature_extractor.res_block1"),
+        "c2": _conv(sd, "feature_extractor.conv2"),
+        "r2": _fm_res(sd, "feature_extractor.res_block2"),
+        "c3": _conv(sd, "feature_extractor.conv3"),
+        "r3": _fm_res(sd, "feature_extractor.res_block3"),
+    }
+    p["ctx_fusion"] = {
+        "c3_up": _conv(sd, "context_fusion_net.conv3_up.0"),
+        "r3_up": _fm_res(sd, "context_fusion_net.res_block3_up"),
+        "c3_out": _conv(sd, "context_fusion_net.conv3_out"),
+        "r3_out": _fm_res(sd, "context_fusion_net.res_block3_out"),
+        "c2_up": _conv(sd, "context_fusion_net.conv2_up.0"),
+        "r2_up": _fm_res(sd, "context_fusion_net.res_block2_up"),
+        "c2_out": _conv(sd, "context_fusion_net.conv2_out"),
+        "r2_out": _fm_res(sd, "context_fusion_net.res_block2_out"),
+        "c1_out": _conv(sd, "context_fusion_net.conv1_out"),
+        "r1_out": _fm_res(sd, "context_fusion_net.res_block1_out"),
+    }
+    p["ctx_enc"] = {
+        "c1": _conv(sd, "contextual_encoder.conv1"),
+        "r1": _hem_res(sd, "contextual_encoder.res1"),
+        "c2": _conv(sd, "contextual_encoder.conv2"),
+        "r2": _hem_res(sd, "contextual_encoder.res2"),
+        "c3": _conv(sd, "contextual_encoder.conv3"),
+        "c4": _conv(sd, "contextual_encoder.conv4"),
+    }
+    p["ctx_dec"] = {
+        "up1": _conv(sd, "contextual_decoder.up1.0"),
+        "up2": _conv(sd, "contextual_decoder.up2.0"),
+        "r1": _hem_res(sd, "contextual_decoder.res1"),
+        "up3": _conv(sd, "contextual_decoder.up3.0"),
+        "r2": _hem_res(sd, "contextual_decoder.res2"),
+        "up4": _conv(sd, "contextual_decoder.up4.0"),
+    }
+    p["recon"] = {
+        "first": _conv(sd, "recon_generation_net.first_conv"),
+        "unet1": _dc_unet(sd, "recon_generation_net.unet_1"),
+        "unet2": _dc_unet(sd, "recon_generation_net.unet_2"),
+        "head": _conv(sd, "recon_generation_net.recon_conv"),
+    }
+    p["hyper_enc"] = {
+        "c0": _conv(sd, "contextual_hyper_prior_encoder.0"),
+        "c1": _conv(sd, "contextual_hyper_prior_encoder.2"),
+        "c2": _conv(sd, "contextual_hyper_prior_encoder.4"),
+    }
+    p["hyper_dec"] = _dc_hyper_dec(sd, "contextual_hyper_prior_decoder")
+    p["temporal_prior"] = {
+        "c1": _conv(sd, "temporal_prior_encoder.0"),
+        "c2": _conv(sd, "temporal_prior_encoder.2"),
+    }
+    p["y_fusion_adaptor_0"] = _fm_dcb(sd, "y_prior_fusion_adaptor_0")
+    p["y_fusion_adaptor_1"] = _fm_dcb(sd, "y_prior_fusion_adaptor_1")
+    p["y_fusion"] = [_fm_dcb(sd, f"y_prior_fusion.{i}") for i in range(2)]
+    for k in (1, 2, 3):
+        p[f"y_sp_adaptor_{k}"] = _conv(sd, f"y_spatial_prior_adaptor_{k}")
+    p["y_spatial_prior"] = [_fm_dcb(sd, f"y_spatial_prior.{i}")
+                            for i in range(3)]
+
+    for name in ("mv_y_q_basic_enc", "mv_y_q_basic_dec", "y_q_basic_enc",
+                 "y_q_basic_dec", "mv_y_q_scale_enc", "mv_y_q_scale_dec",
+                 "y_q_scale_enc", "y_q_scale_dec"):
+        p[name] = _hem_vec(sd, name)
+    p["bit_estimator_z"] = _bit_estimator(sd, "bit_estimator_z")
+    p["bit_estimator_z_mv"] = _bit_estimator(sd, "bit_estimator_z_mv")
+    return p
+
+
 def port_dmc(sd):
     """Reference DMC (video) state dict -> opendcvc_tpu DMC params."""
     p = {}

@@ -637,3 +637,119 @@ def test_dmc_tcm_port_shapes():
         [k for k in shapes_p if k in shapes_o
          and shapes_p[k] != shapes_o[k]][:5])
     assert len(flat_p) == len(tnet.state_dict())
+
+
+def test_dmc_dc_port_shapes():
+    torch = pytest.importorskip("torch")
+    _use_ref_tree("DCVC-family/DCVC-DC")
+    from src.models.video_model import DMC as TorchDC
+    import jax
+    from opendcvc_tpu.models.dmc_dc import DMCDC
+    from opendcvc_tpu.utils.port_torch import port_dmc_dc
+
+    torch.manual_seed(9)
+    tnet = TorchDC()
+    ported = port_dmc_dc(tnet.state_dict())
+    net = DMCDC()
+    net.init_params(seed=0)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(ported)
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(net.params)
+    shapes_p = {jax.tree_util.keystr(k): v.shape for k, v in flat_p}
+    shapes_o = {jax.tree_util.keystr(k): v.shape for k, v in flat_o}
+    assert shapes_p == shapes_o, (
+        sorted(set(shapes_o) - set(shapes_p))[:5],
+        sorted(set(shapes_p) - set(shapes_o))[:5],
+        [k for k in shapes_p if k in shapes_o
+         and shapes_p[k] != shapes_o[k]][:8])
+    assert len(flat_p) == len(tnet.state_dict())
+
+
+def test_dmc_dc_parity_with_reference_torch():
+    """DCVC-DC numerics vs the reference (reference
+    DCVC-family/DCVC-DC/src/models/video_model.py:425-471): SpyNet,
+    mv enc/dec, OffsetDiversity motion compensation, contextual enc,
+    hyper + temporal priors, UNet recon — with enc/dec-separate quant
+    anchors."""
+    torch = pytest.importorskip("torch")
+    os.environ.setdefault("SUPPRESS_CUSTOM_KERNEL_WARNING", "1")
+    _use_ref_tree("DCVC-family/DCVC-DC")
+    from src.models.video_model import DMC as TorchDC
+    import jax.numpy as jnp
+    from opendcvc_tpu.models import dmc_dc as M
+    from opendcvc_tpu.models.dmc_dc import DMCDC
+    from opendcvc_tpu.utils.port_torch import port_dmc_dc
+
+    torch.manual_seed(14)
+    tnet = TorchDC()
+    tnet.eval()
+    q_index = 2
+
+    rng = np.random.default_rng(33)
+    x_np = rng.random((1, 64, 64, 3), dtype=np.float32)
+    ref_np = rng.random((1, 64, 64, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        x_t = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        ref_t = torch.from_numpy(ref_np.transpose(0, 3, 1, 2))
+        dpb_t = {"ref_frame": ref_t, "ref_feature": None,
+                 "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+        mv_q_enc_t, mv_q_dec_t, y_q_enc_t, y_q_dec_t = \
+            tnet.get_q_for_inference(True, q_index)
+        mv_y_t = tnet.motion_estimation_and_mv_encoding(
+            x_t, dpb_t, mv_q_enc_t)
+        mv_y_pad_t, mv_slice = tnet.pad_for_y(mv_y_t)
+        mv_z_t = tnet.mv_hyper_prior_encoder(mv_y_pad_t)
+        mv_z_hat_t = torch.round(mv_z_t)
+        mv_params_t = tnet.mv_prior_param_decoder(mv_z_hat_t, dpb_t,
+                                                  mv_slice)
+        mv_y_hat_t = torch.round(mv_y_t)
+        mv_hat_t, mv_feat_t = tnet.mv_decoder(mv_y_hat_t, mv_q_dec_t)
+        c1_t, c2_t, c3_t, warp_t = tnet.motion_compensation(
+            dpb_t, mv_hat_t, 0)
+        y_t = tnet.contextual_encoder(x_t, c1_t, c2_t, c3_t, y_q_enc_t)
+        y_pad_t, y_slice = tnet.pad_for_y(y_t)
+        z_t = tnet.contextual_hyper_prior_encoder(y_pad_t)
+        z_hat_t = torch.round(z_t)
+        params_t = tnet.res_prior_param_decoder(z_hat_t, dpb_t, c3_t,
+                                                y_slice)
+        y_hat_t = torch.round(y_t)
+        x_hat_t, feat_t = tnet.get_recon_and_feature(
+            y_hat_t, c1_t, c2_t, c3_t, y_q_dec_t)
+
+    net = DMCDC()
+    net.load_params(port_dmc_dc(tnet.state_dict()))
+    p = net.params
+    mv_q_enc, mv_q_dec, y_q_enc, y_q_dec = net.get_q_for_inference(
+        True, q_index)
+
+    x_j = jnp.asarray(x_np)
+    ref_j = jnp.asarray(ref_np)
+    mv_y_j, mv_z_hat_j, _ = M._stage_mv_enc_i(p, x_j, ref_j, mv_q_enc) \
+        if hasattr(M, "_stage_mv_enc_i") else M._stage_mv_enc(
+            p, x_j, ref_j, None, mv_q_enc)
+    d = np.abs(np.asarray(mv_y_j) - _t2j(mv_y_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+    zh_j, zh_t = np.asarray(mv_z_hat_j), _t2j(mv_z_hat_t)
+    assert np.mean(zh_j != zh_t) < 1e-3
+
+    mv_hat_j, mv_feat_j = M.mv_decoder(p, jnp.asarray(_t2j(mv_y_hat_t)),
+                                       mv_q_dec)
+    d = np.abs(np.asarray(mv_hat_j) - _t2j(mv_hat_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    c1_j, c2_j, c3_j, warp_j = M._stage_motion_comp(
+        p, jnp.asarray(_t2j(mv_hat_t)), ref_j, None, 0)
+    for ours, ref in ((c1_j, c1_t), (c2_j, c2_t), (c3_j, c3_t),
+                      (warp_j, warp_t)):
+        d = np.abs(np.asarray(ours) - _t2j(ref))
+        assert np.max(d) < 5e-3, float(np.max(d))
+
+    y_j, z_hat_j, _ = M._stage_ctx_enc(p, x_j, c1_j, c2_j, c3_j, y_q_enc)
+    d = np.abs(np.asarray(y_j) - _t2j(y_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    x_hat_j, feat_j = M._stage_recon(p, jnp.asarray(_t2j(y_hat_t)),
+                                     c1_j, c2_j, c3_j, y_q_dec)
+    d = np.abs(np.asarray(x_hat_j) - _t2j(x_hat_t))
+    assert np.mean(d) < 1e-3 and np.percentile(d, 99.9) < 2e-2, \
+        (float(np.mean(d)), float(np.max(d)))
