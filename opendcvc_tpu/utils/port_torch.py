@@ -609,6 +609,99 @@ def port_dmc_fm(sd):
 
 
 # ---------------------------------------------------------------------------
+# DCVC (oldest) porting (reference DCVC-family/DCVC/src/models/DCVC_net.py
+# parameter names)
+# ---------------------------------------------------------------------------
+
+def _masked_conv(sd, prefix):
+    """MaskedConv2d: conv weight/bias + the causal mask buffer
+    ((O,I,k,k) in torch; channel-invariant, stored (k,k,1,1) here)."""
+    p = _conv(sd, prefix)
+    m = _np(sd[prefix + ".mask"])[0, 0][:, :, None, None]
+    p["mask"] = jnp.asarray(np.ascontiguousarray(m))
+    return p
+
+
+def _dcvc_res(sd, prefix):
+    """DCVC ResBlock (video_net.py:159-187): conv1, conv2, adapt_conv."""
+    p = {"c1": _conv(sd, prefix + ".conv1"),
+         "c2": _conv(sd, prefix + ".conv2")}
+    if prefix + ".adapt_conv.weight" in sd:
+        p["adapt"] = _conv(sd, prefix + ".adapt_conv")
+    return p
+
+
+def _dcvc_res01(sd, prefix):
+    """ResBlock_LeakyReLU_0_Point_1: conv.0, conv.2."""
+    return {"c1": _conv(sd, prefix + ".conv.0"),
+            "c2": _conv(sd, prefix + ".conv.2")}
+
+
+def port_dcvc(sd):
+    """Reference DCVC_net state dict -> opendcvc_tpu DCVCNet params."""
+    p = {}
+    p["optic_flow"] = _hem_spynet(sd, "opticFlow")
+    p["feature_extract"] = {"c": _conv(sd, "feature_extract.0"),
+                            "res": _dcvc_res(sd, "feature_extract.1")}
+    p["context_refine"] = {"res": _dcvc_res(sd, "context_refine.0"),
+                           "c": _conv(sd, "context_refine.1")}
+    p["mv_enc"] = {
+        "convs": [_conv(sd, f"mvEncoder.{2 * i}") for i in range(4)],
+        "gdns": [_gdn(sd, f"mvEncoder.{2 * i + 1}") for i in range(3)],
+    }
+    p["mv_dec1"] = {
+        "convs": [_deconv(sd, f"mvDecoder_part1.{2 * i}")
+                  for i in range(4)],
+        "gdns": [_gdn(sd, f"mvDecoder_part1.{2 * i + 1}")
+                 for i in range(3)],
+    }
+    p["mv_dec2"] = [_conv(sd, f"mvDecoder_part2.{2 * i}")
+                    for i in range(7)]
+    p["ctx_enc"] = {
+        "convs": [_conv(sd, f"contextualEncoder.{i}")
+                  for i in (0, 3, 6, 8)],
+        "gdns": [_gdn(sd, f"contextualEncoder.{i}") for i in (1, 4, 7)],
+        "res": [_dcvc_res01(sd, "contextualEncoder.2"),
+                _dcvc_res01(sd, "contextualEncoder.5")],
+    }
+    p["ctx_dec1"] = {
+        "subpels": [_conv(sd, f"contextualDecoder_part1.{i}.0")
+                    for i in (0, 2, 5, 8)],
+        "gdns": [_gdn(sd, f"contextualDecoder_part1.{i}")
+                 for i in (1, 3, 6)],
+        "res": [_dcvc_res01(sd, "contextualDecoder_part1.4"),
+                _dcvc_res01(sd, "contextualDecoder_part1.7")],
+    }
+    p["ctx_dec2"] = {
+        "c1": _conv(sd, "contextualDecoder_part2.0"),
+        "res1": _dcvc_res(sd, "contextualDecoder_part2.1"),
+        "res2": _dcvc_res(sd, "contextualDecoder_part2.2"),
+        "c2": _conv(sd, "contextualDecoder_part2.3"),
+    }
+    p["prior_enc"] = [_conv(sd, f"priorEncoder.{i}") for i in (0, 2, 4)]
+    p["prior_dec"] = [_deconv(sd, f"priorDecoder.{i}") for i in (0, 2, 4)]
+    p["mv_prior_enc"] = [_conv(sd, f"mvpriorEncoder.{i}")
+                         for i in (0, 2, 4)]
+    p["mv_prior_dec"] = [_deconv(sd, f"mvpriorDecoder.{i}")
+                         for i in (0, 2, 4)]
+    p["entropy_parameters"] = [_conv(sd, f"entropy_parameters.{i}")
+                               for i in (0, 2, 4)]
+    p["entropy_parameters_mv"] = [_conv(sd, f"entropy_parameters_mv.{i}")
+                                  for i in (0, 2, 4)]
+    p["auto_regressive"] = _masked_conv(sd, "auto_regressive")
+    p["auto_regressive_mv"] = _masked_conv(sd, "auto_regressive_mv")
+    p["temporal_prior_enc"] = {
+        "convs": [_conv(sd, f"temporalPriorEncoder.{2 * i}")
+                  for i in range(4)],
+        "gdns": [_gdn(sd, f"temporalPriorEncoder.{2 * i + 1}")
+                 for i in range(3)],
+    }
+    p["bit_estimator_z"] = _bit_estimator(sd, "bitEstimator_z")
+    p["bit_estimator_z_mv"] = _bit_estimator(sd, "bitEstimator_z_mv")
+    return p
+
+
+# ---------------------------------------------------------------------------
 # DCVC-DC porting (reference DCVC-family/DCVC-DC/src/models/{video_model,
 # layers, video_net}.py parameter names; DC's DepthConvBlock has the same
 # sublayer names as FM's, so the _fm_* helpers apply)
@@ -791,5 +884,109 @@ def port_dmc(sd):
     p["recon_head"] = _conv(sd, "recon_generation_net.head")
     for name in ("q_encoder", "q_decoder", "q_feature", "q_recon"):
         p[name] = _qbank(sd, name)
+    p["bit_estimator_z"] = _bit_estimator(sd, "bit_estimator_z")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# EVC porting (reference DCVC-family/EVC/src/models/{image_model, layers,
+# hyperprior}.py parameter names)
+# ---------------------------------------------------------------------------
+
+def _evc_dc(sd, prefix):
+    """EVC main-path DepthConv (EVC layers.py:160-196): every conv is
+    wrapped in a Sequential with its activation."""
+    p = {"conv1": _conv(sd, prefix + ".conv1.0"),
+         "dw": _conv(sd, prefix + ".depth_conv.0"),
+         "conv2": _conv(sd, prefix + ".conv2.0")}
+    if prefix + ".adaptor.weight" in sd:
+        p["adaptor"] = _conv(sd, prefix + ".adaptor")
+    return p
+
+
+def _evc_dcb(sd, prefix):
+    return {"dc": _evc_dc(sd, prefix + ".block.0"),
+            "ffn": {"c1": _conv(sd, prefix + ".block.1.conv.0"),
+                    "c2": _conv(sd, prefix + ".block.1.conv.2")}}
+
+
+def _evc_hp_dc(sd, prefix):
+    """Hyperprior DepthConv (EVC hyperprior.py:7-34): bare depth_conv
+    and conv2."""
+    p = {"conv1": _conv(sd, prefix + ".conv1.0"),
+         "dw": _conv(sd, prefix + ".depth_conv"),
+         "conv2": _conv(sd, prefix + ".conv2")}
+    if prefix + ".adaptor.weight" in sd:
+        p["adaptor"] = _conv(sd, prefix + ".adaptor")
+    return p
+
+
+def _evc_hp_dcb(sd, prefix):
+    return {"dc": _evc_hp_dc(sd, prefix + ".block.0"),
+            "ffn": {"c1": _conv(sd, prefix + ".block.1.conv.0"),
+                    "c2": _conv(sd, prefix + ".block.1.conv.2")}}
+
+
+def _evc_rbs(sd, prefix):
+    p = {"conv1": _conv(sd, prefix + ".conv1"),
+         "conv2": _conv(sd, prefix + ".conv2")}
+    if prefix + ".downsample.weight" in sd:
+        p["down"] = _conv(sd, prefix + ".downsample")
+    return p
+
+
+def _evc_rbu(sd, prefix):
+    return {"subpel": _conv(sd, prefix + ".subpel_conv.0"),
+            "conv": _conv(sd, prefix + ".conv"),
+            "up": _conv(sd, prefix + ".upsample.0")}
+
+
+def _evc_enc(sd, prefix):
+    return {"rbs1": _evc_rbs(sd, f"{prefix}.0"),
+            "dcb1": _evc_dcb(sd, f"{prefix}.1"),
+            "rbs2": _evc_rbs(sd, f"{prefix}.2"),
+            "dcb2": _evc_dcb(sd, f"{prefix}.3"),
+            "rbs3": _evc_rbs(sd, f"{prefix}.4"),
+            "dcb3": _evc_dcb(sd, f"{prefix}.5"),
+            "down": _conv(sd, f"{prefix}.6")}
+
+
+def _evc_dec(sd, prefix):
+    return {"dcb1": _evc_dcb(sd, f"{prefix}.0"),
+            "rbu1": _evc_rbu(sd, f"{prefix}.1"),
+            "dcb2": _evc_dcb(sd, f"{prefix}.2"),
+            "rbu2": _evc_rbu(sd, f"{prefix}.3"),
+            "dcb3": _evc_dcb(sd, f"{prefix}.4"),
+            "rbu3": _evc_rbu(sd, f"{prefix}.5"),
+            "dcb4": _evc_dcb(sd, f"{prefix}.6"),
+            "subpel": _conv(sd, f"{prefix}.7.0")}
+
+
+def port_evc(sd):
+    """Reference EVC (single-encoder variants) state dict ->
+    opendcvc_tpu EVC params."""
+    p = {}
+    p["enc"] = _evc_enc(sd, "enc")
+    p["dec"] = _evc_dec(sd, "dec")
+    p["hyper"] = {
+        "he_dcb": _evc_hp_dcb(sd, "hyper_enc.0"),
+        "he_c1": _conv(sd, "hyper_enc.1"),
+        "he_c2": _conv(sd, "hyper_enc.3"),
+        "hd_up1": {"dcb": {"dc": _evc_hp_dc(sd, "hyper_dec.0.block.0"),
+                           "ffn": {"c1": _conv(sd, "hyper_dec.0.block.1.conv.0"),
+                                   "c2": _conv(sd, "hyper_dec.0.block.1.conv.2")}},
+                   "subpel": _conv(sd, "hyper_dec.0.block.2")},
+        "hd_up2": {"dcb": {"dc": _evc_hp_dc(sd, "hyper_dec.1.block.0"),
+                           "ffn": {"c1": _conv(sd, "hyper_dec.1.block.1.conv.0"),
+                                   "c2": _conv(sd, "hyper_dec.1.block.1.conv.2")}},
+                   "subpel": _conv(sd, "hyper_dec.1.block.2")},
+        "hd_dcb": _evc_hp_dcb(sd, "hyper_dec.2"),
+        "fusion1": _evc_hp_dcb(sd, "y_prior_fusion.0"),
+        "fusion2": _evc_hp_dcb(sd, "y_prior_fusion.1"),
+    }
+    p["y_spatial_prior"] = [_evc_hp_dcb(sd, f"y_spatial_prior.{i}")
+                            for i in range(3)]
+    p["q_basic"] = _hem_vec(sd, "q_basic")
+    p["q_scale"] = _hem_vec(sd, "q_scale")
     p["bit_estimator_z"] = _bit_estimator(sd, "bit_estimator_z")
     return p

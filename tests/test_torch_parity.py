@@ -36,6 +36,23 @@ def _use_ref_tree(subdir=None):
     root = REF if subdir is None else os.path.join(REF, subdir)
     # family trees import pytorch_msssim (absent here) at module level —
     # a training-loss dependency irrelevant to the forward math
+    if "torchvision" not in sys.modules:
+        import types
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class _Stub:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):
+                raise NotImplementedError("stubbed in tests")
+
+        tvt.ToPILImage = _Stub
+        tvt.ToTensor = _Stub
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
     if "pytorch_msssim" not in sys.modules:
         import types
         fake = types.ModuleType("pytorch_msssim")
@@ -750,6 +767,192 @@ def test_dmc_dc_parity_with_reference_torch():
 
     x_hat_j, feat_j = M._stage_recon(p, jnp.asarray(_t2j(y_hat_t)),
                                      c1_j, c2_j, c3_j, y_q_dec)
+    d = np.abs(np.asarray(x_hat_j) - _t2j(x_hat_t))
+    assert np.mean(d) < 1e-3 and np.percentile(d, 99.9) < 2e-2, \
+        (float(np.mean(d)), float(np.max(d)))
+
+
+def test_dcvc_port_shapes():
+    torch = pytest.importorskip("torch")
+    _use_ref_tree("DCVC-family/DCVC")
+    from src.models.DCVC_net import DCVC_net as TorchDCVC
+    import jax
+    from opendcvc_tpu.models.dcvc import DCVCNet
+    from opendcvc_tpu.utils.port_torch import port_dcvc
+
+    torch.manual_seed(3)
+    tnet = TorchDCVC()
+    ported = port_dcvc(tnet.state_dict())
+    net = DCVCNet()
+    net.init_params(seed=0)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(ported)
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(net.params)
+    shapes_p = {jax.tree_util.keystr(k): v.shape for k, v in flat_p}
+    shapes_o = {jax.tree_util.keystr(k): v.shape for k, v in flat_o}
+    assert shapes_p == shapes_o, (
+        sorted(set(shapes_o) - set(shapes_p))[:5],
+        sorted(set(shapes_p) - set(shapes_o))[:5],
+        [k for k in shapes_p if k in shapes_o
+         and shapes_p[k] != shapes_o[k]][:8])
+    assert len(flat_p) == len(tnet.state_dict())
+
+
+def test_dcvc_parity_with_reference_torch():
+    """DCVC (NeurIPS'21) numerics vs the reference DCVC_net: SpyNet,
+    GDN mv enc/dec (ConvTranspose2d), mv refinement, feature-domain
+    motion compensation, contextual enc/dec, hyper priors, masked-conv
+    AR context + entropy parameters."""
+    torch = pytest.importorskip("torch")
+    _use_ref_tree("DCVC-family/DCVC")
+    from src.models.DCVC_net import DCVC_net as TorchDCVC
+    import jax.numpy as jnp
+    from opendcvc_tpu.models import dcvc as M
+    from opendcvc_tpu.models.dcvc import DCVCNet
+    from opendcvc_tpu.utils.port_torch import port_dcvc
+
+    torch.manual_seed(7)
+    tnet = TorchDCVC()
+    tnet.eval()
+
+    rng = np.random.default_rng(41)
+    x_np = rng.random((1, 64, 64, 3), dtype=np.float32)
+    ref_np = rng.random((1, 64, 64, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        x_t = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        ref_t = torch.from_numpy(ref_np.transpose(0, 3, 1, 2))
+        flow_t = tnet.opticFlow(x_t, ref_t)
+        mv_y_t = tnet.mvEncoder(flow_t)
+        mv_z_t = tnet.mvpriorEncoder(mv_y_t)
+        mv_z_hat_t = torch.round(mv_z_t)
+        mv_params_t = tnet.mvpriorDecoder(mv_z_hat_t)
+        mv_y_hat_t = torch.round(mv_y_t)
+        mv_up_t = tnet.mvDecoder_part1(mv_y_hat_t)
+        mv_ref_t = tnet.mv_refine(ref_t, mv_up_t)
+        ctx_t = tnet.motioncompensation(ref_t, mv_ref_t)
+        y_t = tnet.contextualEncoder(torch.cat((x_t, ctx_t), dim=1))
+        z_t = tnet.priorEncoder(y_t)
+        z_hat_t = torch.round(z_t)
+        hp_t = tnet.priorDecoder(z_hat_t)
+        temporal_t = tnet.temporalPriorEncoder(ctx_t)
+        y_hat_t = torch.round(y_t)
+        ar_t = tnet.auto_regressive(y_hat_t)
+        gp_t = tnet.entropy_parameters(
+            torch.cat((temporal_t, hp_t, ar_t), dim=1))
+        recon_t = tnet.contextualDecoder_part2(torch.cat(
+            (tnet.contextualDecoder_part1(y_hat_t), ctx_t), dim=1))
+        recon_t = recon_t.clamp(0, 1)
+
+    net = DCVCNet()
+    net.load_params(port_dcvc(tnet.state_dict()))
+    p = net.params
+
+    x_j = jnp.asarray(x_np)
+    ref_j = jnp.asarray(ref_np)
+    mv_y_j, mv_z_hat_j, _ = M._stage_mv_front(p, x_j, ref_j)
+    d = np.abs(np.asarray(mv_y_j) - _t2j(mv_y_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+    zh_j, zh_t = np.asarray(mv_z_hat_j), _t2j(mv_z_hat_t)
+    assert np.mean(zh_j != zh_t) < 1e-3
+
+    mp_j = M._stage_mv_prior_params(p, jnp.asarray(zh_t))
+    d = np.abs(np.asarray(mp_j) - _t2j(mv_params_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    ctx_j = M._stage_after_mv(p, ref_j, jnp.asarray(_t2j(mv_y_hat_t)))
+    d = np.abs(np.asarray(ctx_j) - _t2j(ctx_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    y_j, z_hat_j, _ = M._stage_ctx_front(p, x_j, ctx_j)
+    d = np.abs(np.asarray(y_j) - _t2j(y_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    temporal_j = M._stage_temporal(p, ctx_j)
+    yp_j = M._stage_y_prior_params(p, jnp.asarray(_t2j(z_hat_t)),
+                                   temporal_j)
+    # entropy params with the masked-conv AR context
+    y_hat_j = jnp.asarray(_t2j(y_hat_t))
+    ar_j = M.masked_conv_apply(p["auto_regressive"], y_hat_j)
+    gp_j = M.entropy_params_apply(
+        p["entropy_parameters"], jnp.concatenate((yp_j, ar_j), axis=-1))
+    d = np.abs(np.asarray(gp_j) - _t2j(gp_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+
+    recon_j = M._stage_recon(p, y_hat_j, ctx_j)
+    d = np.abs(np.asarray(recon_j) - _t2j(recon_t))
+    assert np.mean(d) < 1e-3 and np.percentile(d, 99.9) < 2e-2, \
+        (float(np.mean(d)), float(np.max(d)))
+
+
+def test_evc_parity_with_reference_torch():
+    """EVC image codec numerics vs the reference (reference
+    DCVC-family/EVC/src/models/image_model.py:30-57): encoder, hyper
+    enc/dec + prior fusion, decoder."""
+    torch = pytest.importorskip("torch")
+    _use_ref_tree("DCVC-family/EVC")
+    from src.models.image_model import EVC_LL as TorchEVC
+    import jax
+    import jax.numpy as jnp
+    from opendcvc_tpu.models import evc as M
+    from opendcvc_tpu.models.evc import EVC
+    from opendcvc_tpu.utils.port_torch import port_evc
+
+    torch.manual_seed(12)
+    tnet = TorchEVC()
+    tnet.eval()
+    q_scale = 1.3
+
+    rng = np.random.default_rng(55)
+    x_np = rng.random((1, 64, 64, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        x_t = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        _, y_t, curr_q_t = tnet.single_encode(x_t, q_scale)
+        z_t = tnet.hyper_enc(y_t)
+        z_hat_t = torch.round(z_t)
+        params_t = tnet.y_prior_fusion(tnet.hyper_dec(z_hat_t))
+        y_hat_t = torch.round(y_t)
+        x_hat_t = tnet.dec(y_hat_t * curr_q_t).clamp(0, 1)
+
+    net = EVC()
+    net.load_params(port_evc(tnet.state_dict()))
+    p = net.params
+
+    # ported tree is complete and shape-exact
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(port_evc(
+        tnet.state_dict()))
+    net2 = EVC()
+    net2.init_params(seed=0)
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(net2.params)
+    shapes_p = {jax.tree_util.keystr(k): v.shape for k, v in flat_p}
+    shapes_o = {jax.tree_util.keystr(k): v.shape for k, v in flat_o}
+    assert shapes_p == shapes_o, (
+        sorted(set(shapes_o) - set(shapes_p))[:5],
+        sorted(set(shapes_p) - set(shapes_o))[:5])
+    assert len(flat_p) == len(tnet.state_dict())
+
+    x_j = jnp.asarray(x_np)
+    y_j, z_hat_j, _ = M._stage_enc_front(p, x_j, q_scale)
+    d = np.abs(np.asarray(y_j) - _t2j(y_t))
+    assert np.max(d) < 5e-3, float(np.max(d))
+    zh_j, zh_t = np.asarray(z_hat_j), _t2j(z_hat_t)
+    assert np.mean(zh_j != zh_t) < 1e-3
+
+    q_step_j, scales_j, means_j = M._stage_prior(p, jnp.asarray(zh_t))
+    pr = _t2j(params_t)
+    c = pr.shape[-1] // 3
+    d = np.abs(np.asarray(q_step_j) - np.maximum(pr[..., :c], 0.5))
+    assert np.max(d) < 5e-3, float(np.max(d))
+    for ours, ref in ((scales_j, pr[..., c:2 * c]),
+                      (means_j, pr[..., 2 * c:])):
+        d = np.abs(np.asarray(ours) - ref)
+        assert np.max(d) < 5e-3, float(np.max(d))
+
+    # recon from the rounded latent (q folded back like the reference)
+    y_hat_j = jnp.asarray(_t2j(y_hat_t))
+    x_hat_j = M.dec_apply(p["dec"], y_hat_j * M._curr_q(p, q_scale,
+                                                       y_hat_j.dtype))
+    x_hat_j = jnp.clip(x_hat_j, 0, 1)
     d = np.abs(np.asarray(x_hat_j) - _t2j(x_hat_t))
     assert np.mean(d) < 1e-3 and np.percentile(d, 99.9) < 2e-2, \
         (float(np.mean(d)), float(np.max(d)))
