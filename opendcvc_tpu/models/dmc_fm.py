@@ -470,6 +470,187 @@ def _stage_y_spatial(p, k, y_hat_so_far, common_params):
                          y_hat_so_far, common_params)
 
 
+
+
+# ---------------------------------------------------------------------------
+# fused per-frame device-EC megastages
+#
+# Same design as DMC's (models/dmc.py): ONE compiled program per frame
+# on each side.  All ten symbol planes (mv_z, four mv_y passes, z, four
+# y passes) code back-to-back per lane with rANS state continuation, so
+# the container carries a single dense segment; the decoder interleaves
+# the ten decode sub-scans with the NN stages (priors, spatial passes,
+# motion compensation) inside one executable.  fa_idx is TRACED (the
+# three cyclic feature adaptors are 1x1 convs of equal shape, gathered
+# from a stacked bank) so the GOP's adaptor cycle shares one graph.
+# ---------------------------------------------------------------------------
+
+
+def _adaptor_feature(p, ref_frame, ref_feature, fa_idx, steady):
+    if not steady:
+        return conv_apply(p["feature_adaptor_I"], ref_frame, padding=1)
+    w = jnp.stack([a["w"] for a in p["feature_adaptor"]])[fa_idx]
+    b = jnp.stack([a["b"] for a in p["feature_adaptor"]])[fa_idx]
+    return conv_apply({"w": w, "b": b}, ref_feature)
+
+
+def _motion_comp_traced(p, mv_hat, ref_frame, ref_feature, fa_idx,
+                        steady):
+    feature = _adaptor_feature(p, ref_frame, ref_feature, fa_idx, steady)
+    f1, f2, f3 = feature_extractor(p, feature)
+    warpframe = flow_warp(ref_frame, mv_hat)
+    mv2 = bilinear_resize_2x(mv_hat, up=False) / 2
+    mv3 = bilinear_resize_2x(mv2, up=False) / 2
+    c1_init = flow_warp(f1, mv_hat)
+    aux = jnp.concatenate((c1_init, warpframe, mv_hat), axis=-1)
+    c1 = offset_diversity(p, f1, aux, mv_hat)
+    c2 = flow_warp(f2, mv2)
+    c3 = flow_warp(f3, mv3)
+    c1, c2, c3 = context_fusion(p, c1, c2, c3)
+    return c1, c2, c3, warpframe
+
+
+def make_fm_device_stages(cfg):
+    """Build the jitted (compress_frame, decompress_frame) megastage
+    pair for a coder config (the gaussian scale-table constants)."""
+    from .prior_stages import make_pass_stages
+    from .dmc import _lane_layout, _lane_unlayout
+    from ..entropy.device_rans import (_encode_scan_carry,
+                                       _decode_scan_carry,
+                                       _unpack_static, densify_segment,
+                                       encode_carry_init)
+    st = make_pass_stages(cfg, 4)
+
+    def enc_4x(y, params_prior, spatial_fn):
+        y_div, packed0, so_far = st["enc_pass0_video"](y, params_prior)
+        packed = [packed0]
+        for k in range(1, 4):
+            scales, means = spatial_fn(k, so_far, params_prior)
+            pk, so_far = st["enc_pass_k"](y_div, scales, means, so_far, k)
+            packed.append(pk)
+        return packed, st["finalize_video"](so_far, params_prior)
+
+    def compress_frame(p, x, ref_frame, ref_feature, ref_mv_feature,
+                       ref_y, ref_mv_y, fa_idx, q_index, cum_hl,
+                       steady, lanes, mw, n_y_rows, cap):
+        mv_y, mv_z_hat, mv_z_int8 = _stage_mv_enc(
+            p, x, ref_frame, ref_mv_feature if steady else None, q_index)
+        myh, myw = mv_y.shape[1], mv_y.shape[2]
+        mv_params = _stage_mv_prior(
+            p, mv_z_hat, ref_mv_y if steady else None, myh, myw)
+        mv_packed, mv_y_hat = enc_4x(
+            mv_y, mv_params,
+            lambda k, sf, prm: _stage_mv_spatial(p, k, sf, prm))
+        mv_hat, mv_feature = _stage_mv_dec(p, mv_y_hat, q_index)
+        c1, c2, c3, _ = _motion_comp_traced(
+            p, mv_hat, ref_frame, ref_feature if steady else None,
+            fa_idx, steady)
+        y, z_hat, z_int8 = _stage_ctx_enc(p, x, c1, c2, c3, q_index)
+        yh, yw = y.shape[1], y.shape[2]
+        params = _stage_ctx_prior(
+            p, z_hat, c3, ref_y if steady else None, yh, yw)
+        y_packed, y_hat = enc_4x(
+            y, params, lambda k, sf, prm: _stage_y_spatial(p, k, sf, prm))
+        x_hat, feature = _stage_recon(p, y_hat, c1, c2, c3, q_index)
+
+        # lane-encode the ten planes in REVERSE decode order (the
+        # decoder consumes mv_z, mv0..mv3, z, y0..y3)
+        carry = encode_carry_init(lanes, mw)
+        z_base = n_y_rows
+        mvz_base = n_y_rows + G_CH_Z
+        for pk in reversed(y_packed):
+            flat = pk.reshape(-1).astype(jnp.int32)
+            s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
+            carry = _encode_scan_carry(s_l, r_l, cum_hl, carry)
+        z_sym = z_int8.reshape(-1).astype(jnp.int32)
+        z_rows = z_base + (jnp.arange(z_sym.shape[0]) % G_CH_Z)
+        s_l, r_l = _lane_layout(z_sym, z_rows, lanes, True)
+        carry = _encode_scan_carry(s_l, r_l, cum_hl, carry)
+        for pk in reversed(mv_packed):
+            flat = pk.reshape(-1).astype(jnp.int32)
+            s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
+            carry = _encode_scan_carry(s_l, r_l, cum_hl, carry)
+        mz_sym = mv_z_int8.reshape(-1).astype(jnp.int32)
+        mz_rows = mvz_base + (jnp.arange(mz_sym.shape[0]) % CH_MV)
+        s_l, r_l = _lane_layout(mz_sym, mz_rows, lanes, True)
+        state, cursors, buf = _encode_scan_carry(s_l, r_l, cum_hl, carry)
+
+        packed_staging = densify_segment(buf, cursors, state, cap)
+        return (x_hat, feature, mv_feature, y_hat, mv_y_hat,
+                packed_staging)
+
+    def decompress_frame(p, staging, ref_frame, ref_feature,
+                         ref_mv_feature, ref_y, ref_mv_y, fa_idx,
+                         q_index, cum_hl, steady, yh, yw, zh, zw,
+                         lanes, n_y_rows, states_off, data_off, mw):
+        data, states = _unpack_static(staging, states_off, data_off,
+                                      lanes, mw)
+        carry = (states.astype(jnp.uint32),
+                 jnp.zeros((lanes,), jnp.int32))
+
+        def dec_seg(rows_flat):
+            nonlocal carry
+            rows_l, _ = _lane_layout(rows_flat, rows_flat, lanes, False)
+            syms, carry2 = _decode_scan_carry(data, rows_l, cum_hl,
+                                              carry)
+            carry = carry2
+            return _lane_unlayout(syms, rows_flat.shape[0])
+
+        myh, myw = yh, yw
+        n_mvz = zh * zw * CH_MV
+        mz_rows = n_y_rows + G_CH_Z + (jnp.arange(n_mvz) % CH_MV)
+        mv_z_hat = dec_seg(mz_rows).reshape(1, zh, zw, CH_MV) \
+            .astype(ref_frame.dtype)
+        mv_params = _stage_mv_prior(
+            p, mv_z_hat, ref_mv_y if steady else None, myh, myw)
+
+        idx = st["dec_index0_video"](mv_params)
+        so_far = st["dec_restore0_video"](
+            dec_seg(idx.reshape(-1).astype(jnp.int32))
+            .reshape(idx.shape).astype(mv_params.dtype), mv_params)
+        for k in range(1, 4):
+            scales, means = _stage_mv_spatial(p, k, so_far, mv_params)
+            idx = st["dec_index_k"](scales, k)
+            y_q_r = dec_seg(idx.reshape(-1).astype(jnp.int32)) \
+                .reshape(idx.shape).astype(mv_params.dtype)
+            so_far = st["dec_restore_acc"](y_q_r, means, so_far, k)
+        mv_y_hat = st["finalize_video"](so_far, mv_params)
+
+        mv_hat, mv_feature = _stage_mv_dec(p, mv_y_hat, q_index)
+        c1, c2, c3, _ = _motion_comp_traced(
+            p, mv_hat, ref_frame, ref_feature if steady else None,
+            fa_idx, steady)
+
+        n_z = zh * zw * G_CH_Z
+        z_rows = n_y_rows + (jnp.arange(n_z) % G_CH_Z)
+        z_hat = dec_seg(z_rows).reshape(1, zh, zw, G_CH_Z) \
+            .astype(mv_params.dtype)
+        params = _stage_ctx_prior(
+            p, z_hat, c3, ref_y if steady else None, yh, yw)
+
+        idx = st["dec_index0_video"](params)
+        so_far = st["dec_restore0_video"](
+            dec_seg(idx.reshape(-1).astype(jnp.int32))
+            .reshape(idx.shape).astype(params.dtype), params)
+        for k in range(1, 4):
+            scales, means = _stage_y_spatial(p, k, so_far, params)
+            idx = st["dec_index_k"](scales, k)
+            y_q_r = dec_seg(idx.reshape(-1).astype(jnp.int32)) \
+                .reshape(idx.shape).astype(params.dtype)
+            so_far = st["dec_restore_acc"](y_q_r, means, so_far, k)
+        y_hat = st["finalize_video"](so_far, params)
+
+        x_hat, feature = _stage_recon(p, y_hat, c1, c2, c3, q_index)
+        return (x_hat, feature, mv_feature, y_hat, mv_y_hat)
+
+    j_compress = jax.jit(compress_frame,
+                         static_argnums=(10, 11, 12, 13, 14))
+    j_decompress = jax.jit(decompress_frame,
+                           static_argnums=(10, 11, 12, 13, 14, 15, 16,
+                                           17, 18, 19))
+    return j_compress, j_decompress
+
+
 # ---------------------------------------------------------------------------
 # host orchestrator
 # ---------------------------------------------------------------------------
@@ -486,6 +667,16 @@ class DMCFM:
         self.ec_thread = ec_thread
         self.params = None
         self.entropy_coder = None
+        import os as _os
+        self.device_ec = _os.environ.get(
+            "OPENDCVC_TPU_DEVICE_EC", "0") not in ("0", "false", "False")
+        self.ec_lanes = int(_os.environ.get("OPENDCVC_TPU_EC_LANES",
+                                            4096))
+        self.ec_bps = float(_os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5))
+        self.device_encoder = None
+        self.device_decoder = None
+        self._j_dev_compress = None
+        self._j_dev_decompress = None
         self.bit_estimator_z = BitEstimator(1, G_CH_Z, support=50)
         self.bit_estimator_z_mv = BitEstimator(1, CH_MV, support=50)
         self.gaussian_encoder = GaussianEncoder(
@@ -555,6 +746,22 @@ class DMCFM:
         if self._stages is None:
             from .prior_stages import make_pass_stages
             self._stages = make_pass_stages(self._cfg, 4)
+        if self.device_ec:
+            from ..entropy.device_rans import (DeviceRansEncoder,
+                                               DeviceRansDecoder,
+                                               full_range_cdf_rows)
+            y_rows = full_range_cdf_rows(*self.gaussian_encoder.cdf_info)
+            z_rows = np.concatenate([
+                full_range_cdf_rows(*self.bit_estimator_z.cdf_info),
+                full_range_cdf_rows(*self.bit_estimator_z_mv.cdf_info)])
+            self.device_encoder = DeviceRansEncoder(
+                lanes=self.ec_lanes, bytes_per_symbol=self.ec_bps)
+            self.device_encoder.set_tables(y_rows, z_rows)
+            self.device_decoder = DeviceRansDecoder()
+            self.device_decoder.set_tables(y_rows, z_rows)
+            if self._j_dev_compress is None:
+                self._j_dev_compress, self._j_dev_decompress = \
+                    make_fm_device_stages(self._cfg)
 
     def set_use_two_entropy_coders(self, b):
         self.entropy_coder.set_use_two_entropy_coders(b)
@@ -590,10 +797,88 @@ class DMCFM:
 
     # -- compress / decompress -------------------------------------------------
 
+    def _mw_cap_for(self, H, W):
+        lanes = self.device_encoder.lanes
+        n_y = (H // 16) * (W // 16) * G_CH_16X // 4
+        n_mv = (H // 16) * (W // 16) * CH_MV // 4
+        zh, zw = C.get_downsampled_shape(H, W, 64)
+        k_total = (4 * (-(-n_y // lanes)) + 4 * (-(-n_mv // lanes))
+                   + (-(-(zh * zw * G_CH_Z) // lanes))
+                   + (-(-(zh * zw * CH_MV) // lanes)))
+        mw = max(8, int(k_total * self.ec_bps / 2)) + 4
+        cap = max(4096, lanes * mw // 2)
+        n_total = lanes * k_total
+        return mw, cap, n_total, k_total
+
+    def _compress_device(self, x, dpb, q_index, fa_idx):
+        p = self.params
+        enc = self.device_encoder
+        steady = dpb["ref_feature"] is not None
+        H, W = x.shape[1], x.shape[2]
+        mw, cap, n_total, k_total = self._mw_cap_for(H, W)
+        zeros = jnp.zeros((), self.dtype)
+        out = self._j_dev_compress(
+            p, x, jnp.asarray(dpb["ref_frame"], self.dtype),
+            dpb["ref_feature"] if steady else zeros,
+            dpb["ref_mv_feature"] if steady else zeros,
+            dpb["ref_y"] if steady else zeros,
+            dpb["ref_mv_y"] if steady else zeros,
+            jnp.int32(fa_idx), jnp.int32(q_index), enc.cum_hl,
+            steady, enc.lanes, mw, enc.n_y_rows, cap)
+        x_hat, feature, mv_feature, y_hat, mv_y_hat, staging = out
+        from ..entropy.device_rans import (serialize_frame_dense,
+                                           undensify_packed)
+        arr = jax.device_get(staging)
+        dense, ln, st = undensify_packed(arr, cap, enc.lanes)
+        if int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
+            raise OverflowError(
+                "FM device-EC staging overflow: raise "
+                "OPENDCVC_TPU_EC_BPS (no regrow ladder is wired for "
+                "the FM megastage yet)")
+        bit_stream = serialize_frame_dense(dense, ln, st, n_total,
+                                           k_total, mw)
+        return {
+            "dpb": {"ref_frame": x_hat, "ref_feature": feature,
+                    "ref_mv_feature": mv_feature, "ref_y": y_hat,
+                    "ref_mv_y": mv_y_hat},
+            "bit_stream": bit_stream,
+        }
+
+    def _decompress_device(self, bit_stream, dpb, sps):
+        from ..entropy.device_rans import parse_frame
+        p = self.params
+        dec = self.device_decoder
+        steady = dpb["ref_feature"] is not None
+        metas, staging_np = parse_frame(bit_stream)
+        stream_dev = jnp.asarray(staging_np)
+        m = metas[0]
+        yh, yw = C.get_downsampled_shape(sps["height"], sps["width"], 16)
+        zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        zeros = jnp.zeros((), self.dtype)
+        out = self._j_dev_decompress(
+            p, stream_dev, jnp.asarray(dpb["ref_frame"], self.dtype),
+            dpb["ref_feature"] if steady else zeros,
+            dpb["ref_mv_feature"] if steady else zeros,
+            dpb["ref_y"] if steady else zeros,
+            dpb["ref_mv_y"] if steady else zeros,
+            jnp.int32(sps["fa_idx"]), jnp.int32(sps["qp"]), dec.cum_hl,
+            steady, yh, yw, zh, zw, m["L"], dec.n_y_rows,
+            m["states_off"], m["data_off"], m["MW"])
+        x_hat, feature, mv_feature, y_hat, mv_y_hat = out
+        return {
+            "dpb": {"ref_frame": x_hat, "ref_feature": feature,
+                    "ref_mv_feature": mv_feature, "ref_y": y_hat,
+                    "ref_mv_y": mv_y_hat},
+            "x_hat": x_hat,
+        }
+
     def compress(self, x, dpb, q_index, fa_idx):
         p = self.params
         x = jnp.asarray(x, self.dtype)
         qi = jnp.int32(q_index)
+
+        if self.device_ec:
+            return self._compress_device(x, dpb, q_index, fa_idx)
 
         if dpb["ref_mv_feature"] is None:
             mv_y, mv_z_hat, mv_z_int8 = self._j_mv_enc_i(
@@ -652,6 +937,9 @@ class DMCFM:
         p = self.params
         qi = jnp.int32(sps["qp"])
         fa_idx = sps["fa_idx"]
+
+        if self.device_ec:
+            return self._decompress_device(bit_stream, dpb, sps)
 
         if bit_stream is not None:
             self.entropy_coder.set_stream(bit_stream)

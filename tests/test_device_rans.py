@@ -156,3 +156,64 @@ def test_dmci_device_ec_roundtrip_matches_classic():
     c1, c2 = run(False)
     np.testing.assert_array_equal(d1, c1)
     np.testing.assert_array_equal(d2, c2)
+
+
+@pytest.mark.slow
+def test_fm_device_ec_roundtrip_matches_classic():
+    """FM device-EC (fused megastage pair, all ten planes in one lane
+    segment) must reproduce exactly the frames the classic host-rANS
+    path produces."""
+    from opendcvc_tpu.models.dmc_fm import DMCFM
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    x1 = jnp.asarray(np.clip(np.asarray(x0)
+                             + rng.normal(0, 0.02, (1, 64, 64, 3))
+                             .astype(np.float32), 0, 1))
+    x2 = jnp.asarray(np.clip(np.asarray(x1)
+                             + rng.normal(0, 0.02, (1, 64, 64, 3))
+                             .astype(np.float32), 0, 1))
+
+    def run(device_ec):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
+        os.environ["OPENDCVC_TPU_EC_LANES"] = "256"
+        try:
+            enc = DMCFM()
+            enc.init_params(seed=0)
+            enc.update()
+            dpb = {"ref_frame": x0, "ref_feature": None,
+                   "ref_mv_feature": None, "ref_y": None,
+                   "ref_mv_y": None}
+            out1 = enc.compress(x1, dpb, 32, 0)
+            out2 = enc.compress(x2, out1["dpb"], 32, 1)
+
+            dec = DMCFM()
+            dec.load_params(enc.params)
+            dec.update()
+            dpb_d = {"ref_frame": x0, "ref_feature": None,
+                     "ref_mv_feature": None, "ref_y": None,
+                     "ref_mv_y": None}
+            sps = {"height": 64, "width": 64, "qp": 32, "fa_idx": 0}
+            r1 = dec.decompress(out1["bit_stream"], dpb_d, sps)
+            sps2 = {"height": 64, "width": 64, "qp": 32, "fa_idx": 1}
+            r2 = dec.decompress(out2["bit_stream"], r1["dpb"], sps2)
+            if device_ec:
+                # the temporal-chain contract: the decoder megastage
+                # must track the encoder megastage EXACTLY
+                for k in ("ref_frame", "ref_feature", "ref_y",
+                          "ref_mv_y", "ref_mv_feature"):
+                    np.testing.assert_array_equal(
+                        np.asarray(out2["dpb"][k], np.float32),
+                        np.asarray(r2["dpb"][k], np.float32))
+            return (np.asarray(r1["dpb"]["ref_frame"], np.float32),
+                    np.asarray(r2["dpb"]["ref_frame"], np.float32))
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+            del os.environ["OPENDCVC_TPU_EC_LANES"]
+
+    d1, d2 = run(True)
+    c1, c2 = run(False)
+    # device megastages fuse differently from the split host stages, so
+    # recon agrees to float rounding, not bit-exactly (the bit-exact
+    # requirement is WITHIN each path's enc/dec pair, asserted above)
+    np.testing.assert_allclose(d1, c1, atol=2e-6)
+    np.testing.assert_allclose(d2, c2, atol=2e-6)
