@@ -233,6 +233,100 @@ def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
     return jnp.clip(x_hat, 0.0, 1.0)
 
 
+
+
+# ---------------------------------------------------------------------------
+# fused per-frame device-EC megastages (same design as models/dmc.py):
+# ONE compiled program per frame per side; the five symbol planes
+# (z + four quadtree passes) code back-to-back per lane with rANS state
+# continuation, and only a dense ~true-bpp staging vector crosses the
+# link.
+# ---------------------------------------------------------------------------
+
+
+def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap):
+    from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
+                                       densify_segment,
+                                       encode_carry_init)
+    from .dmc import _lane_layout
+    y, z_hat, z_int8 = _stage_enc_front(p, x, qp)
+    y_h, y_w = y.shape[1], y.shape[2]
+    q_enc, q_dec_prior, scales, means, reduced = _stage_prior(
+        p, z_hat, y_h, y_w)
+
+    planes = []
+    y_s, packed0, _, so_far = _stage_enc_pass0(y, q_enc, scales, means,
+                                               None)
+    planes.append(packed0)
+    for k in range(1, 4):
+        scales, means = _stage_spatial(p, k, so_far, reduced)
+        packed, _, so_far = _stage_enc_pass(y_s, scales, means, so_far,
+                                            k, None)
+        planes.append(packed)
+    x_hat = _stage_recon(p, so_far, q_dec_prior, qp)
+
+    c_z = z_int8.shape[-1]
+    carry = encode_carry_init(lanes, mw)
+    cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    for pk in reversed(planes):
+        flat = pk.reshape(-1).astype(jnp.int32)
+        s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
+        carry = _encode_scan_carry(s_l, r_l, cum_y, carry)
+    z_sym = z_int8.reshape(-1).astype(jnp.int32)
+    z_rows = n_y_rows + qp * c_z + (jnp.arange(z_sym.shape[0]) % c_z)
+    s_l, r_l = _lane_layout(z_sym, z_rows, lanes, True)
+    cum_sub, rows_local = _slice_rows(cum_hl, r_l, c_z,
+                                      n_y_rows + qp * c_z)
+    state, cursors, buf = _encode_scan_carry(s_l, rows_local, cum_sub,
+                                             carry)
+    return x_hat, densify_segment(buf, cursors, state, cap)
+
+
+def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
+                        z_channel, lanes, n_y_rows, states_off,
+                        data_off, mw, dt_name):
+    from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
+                                       _unpack_static)
+    from .dmc import _lane_layout, _lane_unlayout
+    data, states = _unpack_static(staging, states_off, data_off,
+                                  lanes, mw)
+    carry = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
+
+    n_z = zh * zw * z_channel
+    z_rows = n_y_rows + qp * z_channel \
+        + (jnp.arange(n_z) % z_channel)
+    rows_l, _ = _lane_layout(z_rows, z_rows, lanes, False)
+    cum_sub, rows_local = _slice_rows(cum_hl, rows_l, z_channel,
+                                      n_y_rows + qp * z_channel)
+    z_syms, carry = _decode_scan_carry(data, rows_local, cum_sub, carry)
+    z_hat = _lane_unlayout(z_syms, n_z).reshape(1, zh, zw, z_channel) \
+        .astype(jnp.dtype(dt_name))
+
+    _, q_dec_prior, scales, means, reduced = _stage_prior(
+        p, z_hat, y_h, y_w)
+
+    cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    y_hat_so_far = None
+    for k in range(4):
+        if k > 0:
+            scales, means = _stage_spatial(p, k, y_hat_so_far, reduced)
+        indexes, _ = _stage_fold_index(scales, k, None)
+        _, ih, iw, ic = indexes.shape
+        n_y = ih * iw * ic
+        rows_l, _ = _lane_layout(indexes.reshape(-1).astype(jnp.int32),
+                                 indexes.reshape(-1).astype(jnp.int32),
+                                 lanes, False)
+        y_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
+        y_q_r = _lane_unlayout(y_syms, n_y).reshape(1, ih, iw, ic) \
+            .astype(means.dtype)
+        y_hat_so_far = _stage_dec_restore(y_q_r, means, y_hat_so_far, k)
+
+    x_hat = _stage_recon(p, y_hat_so_far, q_dec_prior, qp)
+    return x_hat
+
+
+
+
 # ---------------------------------------------------------------------------
 # host orchestrator
 # ---------------------------------------------------------------------------
@@ -275,6 +369,11 @@ class DMCI:
             .reshape(1, h, w, c).astype(dt), static_argnums=(1, 2, 3))
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")
+        self._j_compress_frame = jax.jit(
+            _compress_frame_i, static_argnums=(4, 5, 6, 7))
+        self._j_decompress_frame = jax.jit(
+            _decompress_frame_i,
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -338,6 +437,44 @@ class DMCI:
 
     # -- compress -----------------------------------------------------------
 
+    def _mw_cap_for(self, H, W):
+        lanes = self.device_encoder.lanes
+        y_h, y_w = C.get_downsampled_shape(H, W, 16)
+        zh, zw = C.get_downsampled_shape(H, W, 64)
+        n_y = y_h * y_w * self.N // 4
+        k_total = 4 * (-(-n_y // lanes)) \
+            + (-(-(zh * zw * self.z_channel) // lanes))
+        mw = max(8, int(k_total * self.device_encoder.bytes_per_symbol
+                        / 2)) + 4
+        cap = max(4096, lanes * mw // 2)
+        return mw, cap, lanes * k_total, k_total
+
+    def _compress_device(self, x, qp_dev):
+        """Device-EC encode: ONE execution + one dense D2H per frame
+        (design mirrors DMC, models/dmc.py)."""
+        from ..entropy.device_rans import (serialize_frame_dense,
+                                           undensify_packed)
+        enc = self.device_encoder
+        H, W = x.shape[1], x.shape[2]
+        mw, cap, n_total, k_total = self._mw_cap_for(H, W)
+        x_hat, staging = self._j_compress_frame(
+            self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
+            enc.n_y_rows, cap)
+        try:
+            staging.copy_to_host_async()
+        except Exception:
+            pass
+        arr = jax.device_get(staging)
+        dense, ln, st = undensify_packed(arr, cap, enc.lanes)
+        if int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
+            raise OverflowError(
+                "DMCI device-EC staging overflow: raise "
+                "OPENDCVC_TPU_EC_BPS")
+        return {"bit_stream": serialize_frame_dense(dense, ln, st,
+                                                    n_total, k_total,
+                                                    mw),
+                "x_hat": x_hat}
+
     def compress(self, x, qp):
         """x: (1, H, W, 3) in [0,1], H/W multiples of 16. Returns dict with
         bit_stream and x_hat."""
@@ -345,6 +482,9 @@ class DMCI:
         fz = self.force_zero_thres
         qp_dev = np.int32(qp)
         x = jnp.asarray(x, dtype=self.dtype)
+
+        if self.device_ec and fz is None:
+            return self._compress_device(x, qp_dev)
 
         y, z_hat, z_int8 = self._j_enc_front(p, x, qp_dev)
         y_h, y_w = y.shape[1], y.shape[2]
@@ -365,34 +505,6 @@ class DMCI:
 
         x_hat = self._j_recon(p, so_far, q_dec_prior, qp_dev)
 
-        if self.device_ec and fz is None:
-            # device-side rANS: one segment per plane (z, y0..y3) so the
-            # decoder also runs on-device pass by pass
-            from ..entropy.device_rans import serialize_frame
-            enc = self.device_encoder
-            z_base = np.int32(enc.n_y_rows + qp * self.z_channel)
-            segs = []
-            sym_l, row_l = self._j_lane_z(z_int8, qp_dev, enc.n_y_rows,
-                                          self.z_lanes)
-            segs.append((sym_l, row_l, int(np.prod(z_int8.shape)),
-                         z_base, self.z_channel))
-            for pk in packed_planes:
-                s_l, r_l = self._j_lane_y(pk, enc.lanes)
-                segs.append((s_l, r_l, int(np.prod(pk.shape)), 0, None))
-            outs = [enc.encode(s, r, row_base=rb, nr=nr)
-                    for s, r, _, rb, nr in segs]
-            flat = jax.device_get([a for trio in outs for a in trio])
-            frame_segs = []
-            for i, (s_l, r_l, n, rb, nr) in enumerate(segs):
-                b, ln, st = flat[3 * i:3 * i + 3]
-                bps = enc.bytes_per_symbol
-                while int(ln.max(initial=0)) >= b.shape[1] - 2:
-                    bps = min(bps * 2, 3.0)
-                    b, ln, st = jax.device_get(list(
-                        enc.encode(s_l, r_l, bps, row_base=rb, nr=nr)))
-                frame_segs.append((b, ln, st, n, s_l.shape[1]))
-            return {"bit_stream": serialize_frame(frame_segs),
-                    "x_hat": x_hat}
 
         fetch = [z_int8] + packed_planes
         if fz is not None:
@@ -416,44 +528,22 @@ class DMCI:
     # -- decompress ----------------------------------------------------------
 
     def _decompress_device(self, bit_stream, sps, qp):
-        """Device-EC decode: one H2D of the compressed segments; the
-        lane decoder + all four restore passes run on-device."""
+        """Device-EC decode: one H2D upload and ONE execution per frame
+        (lane decoders + the four restore passes + recon fused)."""
         from ..entropy.device_rans import parse_frame
-        p = self.params
         qp_dev = np.int32(qp)
         dec = self.device_decoder
-        enc = self.device_encoder
 
         metas, staging = parse_frame(bit_stream)
         stream_dev = jnp.asarray(staging)  # ONE upload per frame
+        m = metas[0]
 
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"], 16)
-
-        rows_z = self._j_rows_z(zh, zw, self.z_channel, qp_dev,
-                                enc.n_y_rows, self.z_lanes)
-        z_base = np.int32(enc.n_y_rows + qp * self.z_channel)
-        z_syms = dec.decode_segment(stream_dev, metas[0], rows_z,
-                                    row_base=z_base, nr=self.z_channel)
-        z_hat = self._j_plane_from(z_syms, zh, zw, self.z_channel)
-
-        _, q_dec_prior, scales, means, reduced = self._j_prior(
-            p, z_hat, y_h, y_w)
-
-        y_hat_so_far = None
-        for k in range(4):
-            if k > 0:
-                scales, means = self._j_spatial(p, k, y_hat_so_far,
-                                                reduced)
-            indexes, _ = self._j_fold_index(scales, k, None)
-            _, ih, iw, ic = indexes.shape
-            rows = self._j_rows_idx(indexes, enc.lanes)
-            y_syms = dec.decode_segment(stream_dev, metas[1 + k], rows)
-            y_q_r = self._j_plane_from(y_syms, ih, iw, ic)
-            y_hat_so_far = self._j_dec_restore(y_q_r, means,
-                                               y_hat_so_far, k)
-
-        x_hat = self._j_recon(p, y_hat_so_far, q_dec_prior, qp_dev)
+        x_hat = self._j_decompress_frame(
+            self.params, stream_dev, qp_dev, dec.cum_hl, zh, zw, y_h,
+            y_w, self.z_channel, m["L"], dec.n_y_rows, m["states_off"],
+            m["data_off"], m["MW"], np.dtype(self.dtype).name)
         return {"x_hat": x_hat}
 
     def decompress(self, bit_stream, sps, qp):
