@@ -673,6 +673,7 @@ class DMCFM:
         self.ec_lanes = int(_os.environ.get("OPENDCVC_TPU_EC_LANES",
                                             4096))
         self.ec_bps = float(_os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5))
+        self._cur_bps = self.ec_bps
         self.device_encoder = None
         self.device_decoder = None
         self._j_dev_compress = None
@@ -805,7 +806,7 @@ class DMCFM:
         k_total = (4 * (-(-n_y // lanes)) + 4 * (-(-n_mv // lanes))
                    + (-(-(zh * zw * G_CH_Z) // lanes))
                    + (-(-(zh * zw * CH_MV) // lanes)))
-        mw = max(8, int(k_total * self.ec_bps / 2)) + 4
+        mw = max(8, int(k_total * self._cur_bps / 2)) + 4
         cap = max(4096, lanes * mw // 2)
         n_total = lanes * k_total
         return mw, cap, n_total, k_total
@@ -815,26 +816,34 @@ class DMCFM:
         enc = self.device_encoder
         steady = dpb["ref_feature"] is not None
         H, W = x.shape[1], x.shape[2]
-        mw, cap, n_total, k_total = self._mw_cap_for(H, W)
         zeros = jnp.zeros((), self.dtype)
-        out = self._j_dev_compress(
-            p, x, jnp.asarray(dpb["ref_frame"], self.dtype),
-            dpb["ref_feature"] if steady else zeros,
-            dpb["ref_mv_feature"] if steady else zeros,
-            dpb["ref_y"] if steady else zeros,
-            dpb["ref_mv_y"] if steady else zeros,
-            jnp.int32(fa_idx), jnp.int32(q_index), enc.cum_hl,
-            steady, enc.lanes, mw, enc.n_y_rows, cap)
+
+        def run(mw, cap):
+            return self._j_dev_compress(
+                p, x, jnp.asarray(dpb["ref_frame"], self.dtype),
+                dpb["ref_feature"] if steady else zeros,
+                dpb["ref_mv_feature"] if steady else zeros,
+                dpb["ref_y"] if steady else zeros,
+                dpb["ref_mv_y"] if steady else zeros,
+                jnp.int32(fa_idx), jnp.int32(q_index), enc.cum_hl,
+                steady, enc.lanes, mw, enc.n_y_rows, cap)
+
+        self._cur_bps = self.ec_bps
+        mw, cap, n_total, k_total = self._mw_cap_for(H, W)
+        out = run(mw, cap)
         x_hat, feature, mv_feature, y_hat, mv_y_hat, staging = out
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
-        arr = jax.device_get(staging)
-        dense, ln, st = undensify_packed(arr, cap, enc.lanes)
-        if int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
-            raise OverflowError(
-                "FM device-EC staging overflow: raise "
-                "OPENDCVC_TPU_EC_BPS (no regrow ladder is wired for "
-                "the FM megastage yet)")
+        dense, ln, st = undensify_packed(jax.device_get(staging), cap,
+                                         enc.lanes)
+        while int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
+            # hard frame: grow the staging ladder and re-run
+            self._cur_bps = min(self._cur_bps * 2, 3.0)
+            mw, cap, n_total, k_total = self._mw_cap_for(H, W)
+            out = run(mw, cap)
+            staging = out[5]
+            dense, ln, st = undensify_packed(jax.device_get(staging),
+                                             cap, enc.lanes)
         bit_stream = serialize_frame_dense(dense, ln, st, n_total,
                                            k_total, mw)
         return {

@@ -437,15 +437,16 @@ class DMCI:
 
     # -- compress -----------------------------------------------------------
 
-    def _mw_cap_for(self, H, W):
+    def _mw_cap_for(self, H, W, bps=None):
         lanes = self.device_encoder.lanes
+        if bps is None:
+            bps = self.device_encoder.bytes_per_symbol
         y_h, y_w = C.get_downsampled_shape(H, W, 16)
         zh, zw = C.get_downsampled_shape(H, W, 64)
         n_y = y_h * y_w * self.N // 4
         k_total = 4 * (-(-n_y // lanes)) \
             + (-(-(zh * zw * self.z_channel) // lanes))
-        mw = max(8, int(k_total * self.device_encoder.bytes_per_symbol
-                        / 2)) + 4
+        mw = max(8, int(k_total * bps / 2)) + 4
         cap = max(4096, lanes * mw // 2)
         return mw, cap, lanes * k_total, k_total
 
@@ -456,7 +457,8 @@ class DMCI:
                                            undensify_packed)
         enc = self.device_encoder
         H, W = x.shape[1], x.shape[2]
-        mw, cap, n_total, k_total = self._mw_cap_for(H, W)
+        bps = enc.bytes_per_symbol
+        mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
         x_hat, staging = self._j_compress_frame(
             self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
             enc.n_y_rows, cap)
@@ -466,10 +468,15 @@ class DMCI:
             pass
         arr = jax.device_get(staging)
         dense, ln, st = undensify_packed(arr, cap, enc.lanes)
-        if int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
-            raise OverflowError(
-                "DMCI device-EC staging overflow: raise "
-                "OPENDCVC_TPU_EC_BPS")
+        while int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
+            # hard frame: grow the staging ladder and re-run
+            bps = min(bps * 2, 3.0)
+            mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
+            _, staging = self._j_compress_frame(
+                self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
+                enc.n_y_rows, cap)
+            dense, ln, st = undensify_packed(jax.device_get(staging),
+                                             cap, enc.lanes)
         return {"bit_stream": serialize_frame_dense(dense, ln, st,
                                                     n_total, k_total,
                                                     mw),
