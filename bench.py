@@ -34,6 +34,7 @@ def main():
     os.environ.setdefault("OPENDCVC_TPU_DEVICE_EC", "1")
     os.environ.setdefault("OPENDCVC_TPU_EC_LANES", "4096")
     os.environ.setdefault("OPENDCVC_TPU_EC_BPS", "0.4")
+    os.environ.setdefault("OPENDCVC_TPU_EC_CAP_FRAC", "0.375")
     import opendcvc_tpu  # noqa: F401  (pins XLA determinism flags)
     import jax
     import jax.numpy as jnp

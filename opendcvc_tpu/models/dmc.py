@@ -785,9 +785,12 @@ class DMC:
     def _cap_for(lanes, mw):
         # dense-payload budget: sum(lens) <= lanes * max_len, and the
         # strided lane layout keeps max_len near the MEAN lane length,
-        # so half the staging rectangle is a safe dense bound; the
-        # regrow ladder doubles it alongside mw on overflow
-        return max(4096, lanes * mw // 2)
+        # so a fixed fraction of the staging rectangle bounds the dense
+        # payload; the regrow ladder doubles it alongside mw on
+        # overflow.  The fraction trades D2H bytes against regrow
+        # frequency (every D2H byte costs link time on tunneled chips).
+        frac = float(os.environ.get("OPENDCVC_TPU_EC_CAP_FRAC", 0.5))
+        return max(4096, int(lanes * mw * frac) // 8 * 8)
 
     def _compress_async_device(self, x, qp, qp_dev):
         """Device-EC encode: ONE execution per frame (all NN stages +
