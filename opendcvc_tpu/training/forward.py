@@ -77,9 +77,13 @@ def dmci_forward(params, x, qp, rng, quant_mode="ste"):
         mask = masks[k]
         y_res = (y - means * mask) * mask
         y_q = ste_round(y_res)
+        # price the QUANTIZED residual (gradients flow through the STE):
+        # the coder charges -log2 P([y_q-0.5, y_q+0.5]); pricing the
+        # continuous y_res instead systematically underestimates the
+        # stream (measured ~1.5x on y at trained checkpoints)
         y_hat_k = y_q + means * mask
         y_hat_so_far = y_hat_so_far + y_hat_k
-        bits_y = bits_y + jnp.sum(gaussian_bits(y_res, scales * mask) * mask)
+        bits_y = bits_y + jnp.sum(gaussian_bits(y_q, scales * mask) * mask)
 
     y_hat = y_hat_so_far * q_dec_p
     q_dec = p["q_scale_dec"][qp][None, None, None, :].astype(x.dtype)
@@ -142,8 +146,12 @@ def dmc_forward_one_frame(params, x, ref_frame, ref_feature, qp, rng,
         mask = masks[k]
         y_res = (y - means * mask) * mask
         y_q = ste_round(y_res)
+        # price the QUANTIZED residual (gradients flow through the STE):
+        # the coder charges -log2 P([y_q-0.5, y_q+0.5]); pricing the
+        # continuous y_res instead systematically underestimates the
+        # stream (measured ~1.5x on y at trained checkpoints)
         y_hats.append(y_q + means * mask)
-        bits_y = bits_y + jnp.sum(gaussian_bits(y_res, scales * mask) * mask)
+        bits_y = bits_y + jnp.sum(gaussian_bits(y_q, scales * mask) * mask)
 
     y_hat = (y_hats[0] + y_hats[1]) * q_dec
     feature_out = MV._stage_feature(p, y_hat, ctx, qp)

@@ -32,14 +32,14 @@ def test_dmci_estimate_matches_stream():
     enc = m.compress(x, qp)
     real_bits = len(enc["bit_stream"]) * 8
 
-    # With random weights many residuals fall outside the CDF support and
-    # get escape-coded, which the analytic estimate prices with the true
-    # Gaussian tail instead — so the bound here is loose (measured ~1.7x).
-    # Trained models keep residuals in-support, where the reference
-    # requires <0.5% agreement; tighten this once trained checkpoints
-    # exist.
+    # The estimate prices the QUANTIZED residual under the true scale;
+    # the coder uses the 128-level quantized table.  With random weights
+    # the wide-scale rows price escapes differently from the analytic
+    # tail (measured 0.89x); trained checkpoints sit at ~0.96x
+    # (docs/rd_evidence_r2.json) against the reference's <0.5% claim at
+    # 1080p for fully-trained models.
     ratio = real_bits / est_bits
-    assert 0.8 < ratio < 2.0, (est_bits, real_bits, ratio)
+    assert 0.85 < ratio < 1.25, (est_bits, real_bits, ratio)
 
 
 def test_dmci_estimate_matches_stream_trained():
@@ -58,9 +58,9 @@ def test_dmci_estimate_matches_stream_trained():
 
     from opendcvc_tpu.eval.rd_evidence import measure
     points = measure(path, qps=(20, 40), size=128, n_images=2)
-    # measured 1.28x for the 3500-step synthetic checkpoint
-    # (docs/rd_evidence_r2.json) vs ~1.7x at random init; fully-trained
-    # checkpoints approach the reference's <0.5% — ratchet this bound
-    # down as longer training runs land
+    # measured 0.961-0.964 for the 10k-step synthetic checkpoint after
+    # fixing the estimate to price the quantized residual
+    # (docs/rd_evidence_r2.json); the residual few-% comes from table
+    # quantization + container overhead at small sizes
     for p in points:
-        assert 0.9 < p["stream_vs_estimate"] < 1.35, p
+        assert 0.93 < p["stream_vs_estimate"] < 1.05, p
