@@ -2,20 +2,30 @@
 """Headline benchmark: 1080p P-frame encode AND decode throughput (DMC
 codec, full pipeline: NN forward + device-side rANS + container
 assembly on encode; container parse + upload + device-side rANS + NN
-reconstruction on decode).
+reconstruction on decode), plus the intra (DMCI) fps.
+
+The P-frame path runs GOP-BATCHED megastages: N consecutive frames per
+compiled device program with ONE dense D2H per chunk, so the link's
+per-transfer latency (~30 ms on tunneled devices) amortizes over the
+chunk instead of being paid per frame (the reference hides coding
+behind compute with CUDA streams + worker threads,
+video_model.py:314-337; here batching hides the transfer round-trip).
 
 Prints ONE JSON line:
   {"metric": "1080p_p_frame_enc_dec_fps", "value": N, "unit": "fps",
-   "vs_baseline": N, "enc_fps": N, "dec_fps": N, "bpp": N}
+   "vs_baseline": N, "enc_fps": N, "dec_fps": N, "bpp": N,
+   "gop_n": N, "intra_enc_fps": N, "intra_dec_fps": N}
 value = min(enc_fps, dec_fps); vs_baseline compares that minimum
 against the corresponding A100 figure (125.2 enc / 112.8 dec fps,
-reference README.md:35).
+reference README.md:35; intra 40.7/44.2, README.md:55).
 
 Env overrides:
-  BENCH_FRAMES (default 16), BENCH_HEIGHT/BENCH_WIDTH (default
+  BENCH_FRAMES (default 32; rounded to a GOP multiple),
+  BENCH_GOP_N (default 8), BENCH_HEIGHT/BENCH_WIDTH (default
   1080/1920), BENCH_DTYPE (float32|bfloat16, default bfloat16 on tpu
-  else float32), BENCH_Q_SCALE (default 0.25), BENCH_PIPELINE_DEPTH
-  (default 8), BENCH_DECODE=0 to skip the decode half.
+  else float32), BENCH_Q_SCALE (default 0.25), BENCH_DECODE=0 to skip
+  the decode half, BENCH_INTRA=0 to skip the intra half,
+  BENCH_INTRA_FRAMES (default 8).
 """
 
 import json
@@ -44,12 +54,16 @@ def main():
     from opendcvc_tpu.ops.fused import replicate_pad
 
     platform = jax.devices()[0].platform
-    n_frames = int(os.environ.get("BENCH_FRAMES", 16))
+    gop_n = int(os.environ.get("BENCH_GOP_N", 8))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 32))
+    n_frames = max(gop_n, n_frames // gop_n * gop_n)
+    n_chunks = n_frames // gop_n
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     dtype_name = os.environ.get(
         "BENCH_DTYPE", "bfloat16" if platform == "tpu" else "float32")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    qp = 21
 
     i_net = DMCI(dtype=dtype)
     i_net.init_params(seed=0)
@@ -73,58 +87,48 @@ def main():
         x = np.roll(base, 4 * t, axis=2)
         return jnp.asarray(replicate_pad(jnp.asarray(x, dtype), pb, pr))
 
-    # I-frame to seed the DPB
+    # I-frame to seed the DPB; frames 1-2 run the single-frame path
+    # (pixel-adaptor then feature-adaptor variants) before GOP chunks
     x0 = frame(0)
-    enc0 = i_net.compress(x0, 21)
-    p_net.clear_dpb()
-    p_net.set_curr_poc(0)
-    p_net.add_ref_frame(None, enc0["x_hat"])
-
-    # warmup (compile both adaptor variants + any staging regrow step)
-    for t in (1, 2):
-        s = p_net.compress(frame(t), 21)
-        assert len(s["bit_stream"]) > 0
-
-    # pipelined encode: each frame is ONE device execution; its D2H
-    # (started async right after dispatch) and container assembly run on
-    # a single coder thread, overlapping the following frames' compute —
-    # the reference hides rANS behind compute with CUDA streams + worker
-    # threads the same way (video_model.py:314-337)
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
-    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", 8))
+    enc0 = i_net.compress(x0, qp)
+    seed_frames = [frame(1), frame(2)]
     frames = [frame(t) for t in range(3, 3 + n_frames)]
     for f in frames:
         f.block_until_ready()
-    total_bits = 0
-    pending = deque()
-    # several finish workers: each frame's D2H fetch pays full link
-    # latency, so fetches of consecutive frames must be in flight
-    # together (results stay ordered — futures pop in submit order)
-    workers = int(os.environ.get("BENCH_FINISH_WORKERS", 4))
-    pool = ThreadPoolExecutor(max_workers=workers)
+    chunks = [frames[i * gop_n:(i + 1) * gop_n] for i in range(n_chunks)]
+    qps = [qp] * gop_n
+
+    def seed_encoder():
+        p_net.clear_dpb()
+        p_net.set_curr_poc(0)
+        p_net.add_ref_frame(None, enc0["x_hat"])
+        s = [p_net.compress(f, qp)["bit_stream"] for f in seed_frames]
+        return s
+
+    # warmup: compile both single-frame adaptor variants + the GOP scan
+    seed_encoder()
+    p_net.compress_gop(chunks[0], qps)
+
+    # pipelined chunk encode: dispatch chunk k+1's execution before
+    # finishing chunk k, so the async D2H completes under compute
+    from concurrent.futures import ThreadPoolExecutor
+    seed_streams = seed_encoder()
+    pool = ThreadPoolExecutor(max_workers=2)
     t0 = time.perf_counter()
-    for x in frames:
-        pending.append(pool.submit(p_net.compress_async(x, 21)))
-        if len(pending) > depth:
-            total_bits += len(pending.popleft().result()) * 8
-    while pending:
-        total_bits += len(pending.popleft().result()) * 8
+    handles = [pool.submit(p_net.compress_gop_async(c, qps))
+               for c in chunks]
+    chunk_streams = [h.result() for h in handles]
     enc_elapsed = time.perf_counter() - t0
     pool.shutdown()
 
     enc_fps = n_frames / enc_elapsed
+    total_bits = sum(len(s) * 8 for streams in chunk_streams
+                     for s in streams)
     bpp = total_bits / (n_frames * height * width)
+    enc_feature = p_net.dpb[0].feature
 
     dec_fps = None
     if os.environ.get("BENCH_DECODE", "1") not in ("0", "false"):
-        # re-encode deterministically for the decode half
-        streams = []
-        p_net.clear_dpb()
-        p_net.set_curr_poc(0)
-        p_net.add_ref_frame(None, enc0["x_hat"])
-        for x in frames:
-            streams.append(p_net.compress(x, 21)["bit_stream"])
         d_net = DMC(dtype=dtype)
         d_net.load_params(p_net.params)
         d_net.update()
@@ -132,30 +136,60 @@ def main():
         sps = {"sps_id": 0, "height": height, "width": width,
                "ec_part": 1 if use_two else 0, "use_ada_i": 0}
 
-        def decode_all():
+        def seed_decoder():
             d_net.clear_dpb()
             d_net.set_curr_poc(0)
             d_net.add_ref_frame(None, enc0["x_hat"])
-            out = None
-            for s in streams:
-                out = d_net.decompress(s, sps, 21)
-            # decoded frames stay on-device (a production decoder hands
-            # them to the next stage / display there); block on the last
-            out["x_hat"].block_until_ready()
-            return out
+            for s in seed_streams:
+                d_net.decompress(s, sps, qp)
 
-        decode_all()  # warm every graph
+        # warm every graph (single-frame variants + the GOP scan)
+        seed_decoder()
+        d_net.decompress_gop(chunk_streams[0], sps, qps)
+
+        seed_decoder()
         t0 = time.perf_counter()
-        out = decode_all()
+        out = None
+        for streams in chunk_streams:
+            out = d_net.decompress_gop(streams, sps, qps)
+        # decoded frames stay on-device (a production decoder hands
+        # them to the next stage / display there); block on the last
+        out["x_hat"].block_until_ready()
         dec_elapsed = time.perf_counter() - t0
-        dec_fps = len(streams) / dec_elapsed
+        dec_fps = n_frames / dec_elapsed
 
         # correctness gate: decoder's propagated feature must equal the
         # encoder's exactly (the bit-exact temporal-chain contract)
-        f_enc = np.asarray(p_net.dpb[0].feature, np.float32)
+        f_enc = np.asarray(enc_feature, np.float32)
         f_dec = np.asarray(d_net.dpb[0].feature, np.float32)
         assert np.array_equal(f_enc, f_dec), \
             "enc/dec feature chain diverged"
+
+    intra_enc_fps = intra_dec_fps = None
+    if os.environ.get("BENCH_INTRA", "1") not in ("0", "false"):
+        n_intra = int(os.environ.get("BENCH_INTRA_FRAMES", 8))
+        i_frames = [frame(t) for t in range(n_intra)]
+        for f in i_frames:
+            f.block_until_ready()
+        # warm + measure pipelined intra encode (independent frames:
+        # keep every execution + fetch in flight together)
+        i_streams = [i_net.compress(i_frames[0], qp)["bit_stream"]]
+        t0 = time.perf_counter()
+        finishes = [i_net.compress_async(f, qp)[1] for f in i_frames]
+        i_streams = [fin() for fin in finishes]
+        intra_enc_fps = n_intra / (time.perf_counter() - t0)
+
+        i_dec = DMCI(dtype=dtype)
+        i_dec.load_params(i_net.params)
+        i_dec.update()
+        i_sps = {"sps_id": 0, "height": height, "width": width,
+                 "ec_part": 1 if use_two else 0, "use_ada_i": 0}
+        i_dec.decompress(i_streams[0], i_sps, qp)  # warm
+        t0 = time.perf_counter()
+        outs = [i_dec.decompress(s, i_sps, qp)["x_hat"]
+                for s in i_streams]
+        outs[-1].block_until_ready()
+        intra_dec_fps = n_intra / (time.perf_counter() - t0)
 
     if dec_fps is None:
         value = enc_fps
@@ -171,11 +205,16 @@ def main():
         "enc_fps": round(enc_fps, 2),
         "dec_fps": None if dec_fps is None else round(dec_fps, 2),
         "bpp": round(bpp, 4),
+        "gop_n": gop_n,
+        "intra_enc_fps": None if intra_enc_fps is None
+        else round(intra_enc_fps, 2),
+        "intra_dec_fps": None if intra_dec_fps is None
+        else round(intra_dec_fps, 2),
     }
     print(json.dumps(result))
     if os.environ.get("BENCH_VERBOSE"):
         print(f"# platform={platform} dtype={dtype_name} "
-              f"frames={n_frames} {height}x{width} "
+              f"frames={n_frames} gop={gop_n} {height}x{width} "
               f"enc={1e3 / enc_fps:.2f}ms "
               f"dec={'n/a' if dec_fps is None else f'{1e3 / dec_fps:.2f}ms'}"
               f" bpp={bpp:.4f}")

@@ -33,7 +33,27 @@ import os as _os
 # reference's torch.use_deterministic_algorithms(True)
 # (reference src/utils/common.py:17-29).
 _flags = _os.environ.get("XLA_FLAGS", "")
+_excess_precision_pinned = True
 if "xla_allow_excess_precision" not in _flags:
     _os.environ["XLA_FLAGS"] = \
         (_flags + " --xla_allow_excess_precision=false").strip()
+    # XLA_FLAGS is read at backend creation: if a JAX backend already
+    # exists (user code ran a jax op before importing opendcvc_tpu),
+    # the pin above is silently ignored and the enc/dec bit-exact
+    # temporal-chain contract can drift without a diagnostic.  Record
+    # and warn loudly (models.common.assert_determinism_flags raises
+    # on the device-EC setup path).
+    try:
+        import jax._src.xla_bridge as _xb
+        if getattr(_xb, "_backends", None):
+            _excess_precision_pinned = False
+            import warnings as _w
+            _w.warn(
+                "opendcvc_tpu imported AFTER a JAX backend was "
+                "initialized: --xla_allow_excess_precision=false could "
+                "not take effect, so encoder/decoder bit-exactness is "
+                "not guaranteed. Import opendcvc_tpu before running "
+                "any jax operation.", RuntimeWarning, stacklevel=2)
+    except ImportError:  # pragma: no cover - jax internals moved
+        pass
 del _os, _flags

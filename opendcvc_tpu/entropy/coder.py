@@ -40,10 +40,11 @@ class EntropyCoder:
         assert symbols.dtype == np.int16
         self.encoder.encode_y(symbols, cdf_group_index)
 
-    def encode_z(self, symbols, cdf_group_index, start_offset, channels):
+    def encode_z(self, symbols, cdf_group_index, start_offset, channels,
+                 idx_base=0):
         self.encoder.encode_z(np.asarray(symbols, dtype=np.int8),
                               cdf_group_index, start_offset, channels,
-                              interleaved=True)
+                              interleaved=True, idx_base=idx_base)
 
     def flush(self):
         self.encoder.flush()
@@ -62,9 +63,11 @@ class EntropyCoder:
         self.decode_y(indexes, cdf_group_index)
         return self.get_decoded_tensor()
 
-    def decode_z(self, total_size, cdf_group_index, start_offset, channels):
+    def decode_z(self, total_size, cdf_group_index, start_offset, channels,
+                 idx_base=0):
         self.decoder.decode_z(total_size, cdf_group_index, start_offset,
-                              channels, interleaved=True)
+                              channels, interleaved=True,
+                              idx_base=idx_base)
 
     def get_decoded_tensor(self):
         return self.decoder.get_decoded_tensor()

@@ -299,15 +299,26 @@ def undensify_packed(packed, cap, L):
     return dense, lens, states
 
 
-def serialize_frame_dense(dense, lens, states, n_symbols, K, MW):
-    """v3 container from an already-dense (decode-order, lane-major)
-    word vector — same wire format as serialize_frame."""
+FRAME_MAGIC = 0xD4  # container format/version marker (v4)
+
+
+def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap):
+    """v4 container from an already-dense (decode-order, lane-major)
+    word vector.  Layout:
+      u8 FRAME_MAGIC | u32 n | u16 L | u16 K | u16 MW | u32 cap |
+      u32 data_len | lens u16*L | states u32*L | dense u16*total
+    The magic byte versions the container: streams written by an
+    incompatible lane layout / format fail loudly at parse instead of
+    mis-decoding.  `cap` records the encoder's dense staging capacity so
+    the decoder can rebuild the exact compact staging layout the encoder
+    produced (one static shape per ladder rung)."""
     L = lens.shape[0]
     total = int(lens.sum())
-    head = [np.uint8(1).tobytes(),
+    head = [np.uint8(FRAME_MAGIC).tobytes(),
             np.uint32(n_symbols).tobytes(),
             np.uint16(L).tobytes(), np.uint16(K).tobytes(),
             np.uint16(MW).tobytes(),
+            np.uint32(cap).tobytes(),
             np.uint32(2 * total).tobytes()]
     return b"".join(head + [lens.astype(np.uint16).tobytes(),
                             states.astype(np.uint32).tobytes(),
@@ -315,96 +326,68 @@ def serialize_frame_dense(dense, lens, states, n_symbols, K, MW):
                             .astype(np.uint16).tobytes()])
 
 
-def serialize_frame(segments):
-    """segments: list of (buf_np (L,MW) int32 u16 words, lens_np (L,)
-    word counts, states_np (L,), n_symbols, K).  Layout:
-      u8 n_seg | per seg: u32 n, u16 L, u16 K, u16 MW, u32 data_len |
-      lens_all u16 | states_all u32 | data (lane-major, decode order)
-    Raises OverflowError if any lane hit its staging buffer."""
-    head = [np.uint8(len(segments)).tobytes()]
-    lens_parts, states_parts, data_parts = [], [], []
-    for buf, lens, states, n, K in segments:
-        L, MW = buf.shape
-        max_len = int(lens.max(initial=0))
-        if max_len >= MW - 2:
-            raise OverflowError("device rANS lane buffer overflow")
-        # MW is the encoder's STATIC staging width (a bytes-per-symbol
-        # ladder step), recorded verbatim: the decoder stages at this
-        # width, so decode graphs compile once per ladder step — never
-        # per frame.  The data section itself stays compact (lens).
-        lens16 = lens.astype(np.uint16)
-        # decode-order words per lane = reversed emitted prefix
-        buf_rev = buf[:, ::-1].astype(np.uint16)
-        mask = np.arange(MW)[None, :] >= (MW - lens[:, None])
-        data = buf_rev[mask]  # 1D u16, lane-major
-        head.append(np.uint32(n).tobytes())
-        head.append(np.uint16(L).tobytes())
-        head.append(np.uint16(K).tobytes())
-        # the encoder's static staging width: the decoder reuses it as
-        # its (static) layout width so decode graphs compile once per
-        # lane configuration, never per frame
-        head.append(np.uint16(MW).tobytes())
-        head.append(np.uint32(2 * data.size).tobytes())
-        lens_parts.append(lens16.tobytes())
-        states_parts.append(states.astype(np.uint32).tobytes())
-        data_parts.append(data.tobytes())
-    return b"".join(head + lens_parts + states_parts + data_parts)
+def parse_frame(stream, offset=0):
+    """Parse one v4 container into the COMPACT device staging vector:
+    [dense words padded to cap | lens (L) | state hi (L) | state lo (L)]
+    — exactly the layout densify_segment produced on the encoder, so
+    only ~true-bpp bytes cross host->device and the device re-expands
+    lanes itself (_undensify_device).
+
+    Returns (meta, staging_u16, next_offset); meta carries
+    n/L/K/MW/cap/total."""
+    if stream[offset] != FRAME_MAGIC:
+        raise ValueError(
+            f"bad container magic 0x{stream[offset]:02x} (expected "
+            f"0x{FRAME_MAGIC:02x}): stream written by an incompatible "
+            "format version")
+    off = offset + 1
+    n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+    L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+    K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+    mw = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
+    cap = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+    dlen = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+    lens = np.frombuffer(stream, np.uint16, L, off); off += 2 * L
+    states = np.frombuffer(stream, np.uint32, L, off); off += 4 * L
+    total = dlen // 2
+    dense = np.frombuffer(stream, np.uint16, total, off); off += dlen
+    staging = np.zeros(cap + 3 * L, np.uint16)
+    staging[:total] = dense
+    staging[cap:cap + L] = lens
+    staging[cap + L:cap + 2 * L] = (states >> 16).astype(np.uint16)
+    staging[cap + 2 * L:] = (states & 0xFFFF).astype(np.uint16)
+    meta = {"n": n, "L": L, "K": K, "MW": mw, "cap": cap,
+            "total": total}
+    return meta, staging, off
 
 
-def parse_frame(stream):
-    """Parse the v3 container and build the device staging buffer.
+def _undensify_device(staging, cap, L, MW):
+    """jit (cap/L/MW static): compact staging [dense | lens | st_hi |
+    st_lo] -> ((L, MW) int32 decode-order lane words, (L,) uint32
+    states).  Inverse of densify_segment, run ON the device so decode
+    uploads only ~true-bpp bytes instead of the (L, MW) rectangle.
 
-    The compressed container stores each lane's bytes back to back (true
-    bpp); the decoder host pads them out to the encoder's STATIC staging
-    width MB (recorded in the header), so the device sees a fixed layout
-    it can carve up with static slices — zero device gathers and one
-    compiled decode graph per lane configuration, never per frame.
-
-    Returns (metas, staging_np): per segment, metas carry n/L/K/MB plus
-    the STATIC byte offsets of its states and data blocks inside
-    staging_np (one H2D upload per frame)."""
-    n_seg = stream[0]
-    off = 1
-    metas = []
-    for _ in range(n_seg):
-        n = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
-        L = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
-        K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
-        mw = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
-        dlen = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
-        metas.append({"n": n, "L": L, "K": K, "MW": mw, "dlen": dlen})
-    lens_off = off
-    for m in metas:
-        m["lens_off"] = lens_off
-        lens_off += 2 * m["L"]
-    states_src = lens_off
-    for m in metas:
-        m["states_src"] = states_src
-        states_src += 4 * m["L"]
-    data_src = states_src
-    for m in metas:
-        m["data_src"] = data_src
-        data_src += m["dlen"]
-
-    cap = sum(4 * m["L"] + 2 * m["L"] * m["MW"] for m in metas)
-    staging = np.zeros(cap, np.uint8)
-    pos = 0
-    for m in metas:
-        L, MW = m["L"], m["MW"]
-        lens = np.frombuffer(stream, np.uint16, L, m["lens_off"])
-        m["states_off"] = pos
-        staging[pos:pos + 4 * L] = np.frombuffer(
-            stream, np.uint8, 4 * L, m["states_src"])
-        pos += 4 * L
-        m["data_off"] = pos
-        lanes = staging[pos:pos + 2 * L * MW].view(np.uint16) \
-            .reshape(L, MW)
-        # row-major boolean fill == the serializer's row-major extract
-        lanes[np.arange(MW)[None, :] < lens[:, None]] = \
-            np.frombuffer(stream, np.uint16, m["dlen"] // 2,
-                          m["data_src"])
-        pos += 2 * L * MW
-    return metas, staging
+    The lane id of each dense position comes from a vectorized binary
+    search over the lane-end cumsum (log2(L) dense passes); the words
+    then scatter into the padded rectangle (positions beyond a lane's
+    length stay 0, never read by the decode scan)."""
+    dense = lax.slice(staging, (0,), (cap,)).astype(jnp.int32)
+    lens = lax.slice(staging, (cap,), (cap + L,)).astype(jnp.int32)
+    hi = lax.slice(staging, (cap + L,),
+                   (cap + 2 * L,)).astype(jnp.uint32)
+    lo = lax.slice(staging, (cap + 2 * L,),
+                   (cap + 3 * L,)).astype(jnp.uint32)
+    states = (hi << 16) | lo
+    ends = jnp.cumsum(lens)
+    offs = ends - lens
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    lane = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
+    lane_c = jnp.minimum(lane, L - 1)
+    j = pos - offs[lane_c]
+    dst = jnp.where(lane < L, lane_c * MW + j, L * MW)
+    data = jnp.zeros((L * MW + 1,), jnp.int32).at[dst].set(
+        dense, mode="drop", unique_indices=True)
+    return data[:L * MW].reshape(L, MW), states
 
 
 def _unpack_static(stream, states_off, data_off, L, MW):

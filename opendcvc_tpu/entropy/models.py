@@ -96,6 +96,28 @@ def _np_cdf(params_np, x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def fetch_tree(tree):
+    """Single-transfer device->host fetch of a pytree.
+
+    Remote-attached devices pay ~30 ms latency PER ARRAY on synchronous
+    fetches; concatenating the raveled leaves on-device and fetching
+    ONE buffer turns a many-leaf fetch from O(leaves) round-trips into
+    one.  Leaves are staged through f32 (exact for f32/bf16/int<=24bit
+    params)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves or not any(hasattr(l, "device") for l in leaves):
+        return tree
+    flat = jax.jit(lambda ls: jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in ls]))(leaves)
+    host = np.asarray(flat)
+    out, off = [], 0
+    for l in leaves:
+        n = int(np.prod(np.shape(l))) if np.shape(l) else 1
+        out.append(host[off:off + n].reshape(np.shape(l)))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class BitEstimator:
     """Host-side helper owning the CDF tables + coder bindings for z.
 
@@ -120,7 +142,8 @@ class BitEstimator:
         """
         self.entropy_coder = entropy_coder
         p = jax.tree_util.tree_map(
-            lambda a: np.asarray(a, dtype=np.float64), dict(params))
+            lambda a: np.asarray(a, dtype=np.float64),
+            fetch_tree(dict(params)))
         Q, C = self.qp_num, self.channel
         S = self.support
 

@@ -12,9 +12,12 @@ worker thread, so coding parallelizes — and the final stream packs as
 byte-compatible with the reference framing.  With stream_part=1 the
 flag byte still leads (flag == 0 | 1), as in the reference.
 
-The per-op symbol split is contiguous and as even as possible (last
-part takes the remainder); z-plane splits snap to channel boundaries so
-interleaved per-channel CDF selection stays position-independent.
+The per-op symbol split matches the reference exactly: contiguous and
+as even as possible (eachSymbolSize = n/N, last part takes the
+remainder, py_rans.cpp:26-40).  z-plane parts start mid-channel-cycle,
+so each part carries its absolute start offset (`idx_base`) into the
+coder and the interleaved per-channel CDF selection keeps the correct
+phase — per-part payloads line up with the reference's even split.
 """
 
 import numpy as np
@@ -25,15 +28,6 @@ from .coder import EntropyCoder
 def _split_sizes(n, parts):
     each = n // parts
     return [each] * (parts - 1) + [n - each * (parts - 1)]
-
-
-def _split_sizes_aligned(n, parts, align):
-    """Near-even split where every boundary is a multiple of `align`."""
-    groups = n // align
-    g = _split_sizes(groups, parts)
-    sizes = [v * align for v in g]
-    sizes[-1] += n - groups * align
-    return sizes
 
 
 class NPartEntropyCoder:
@@ -77,10 +71,9 @@ class NPartEntropyCoder:
         symbols = np.asarray(symbols, dtype=np.int8).reshape(-1)
         off = 0
         for p, sz in zip(self.parts,
-                         _split_sizes_aligned(symbols.size,
-                                              self.stream_part, channels)):
+                         _split_sizes(symbols.size, self.stream_part)):
             p.encode_z(symbols[off:off + sz], cdf_group_index,
-                       start_offset, channels)
+                       start_offset, channels, idx_base=off)
             off += sz
 
     def flush(self):
@@ -132,10 +125,12 @@ class NPartEntropyCoder:
 
     def decode_z(self, total_size, cdf_group_index, start_offset,
                  channels):
-        sizes = _split_sizes_aligned(total_size, self.stream_part,
-                                     channels)
+        sizes = _split_sizes(total_size, self.stream_part)
+        off = 0
         for p, sz in zip(self.parts, sizes):
-            p.decode_z(sz, cdf_group_index, start_offset, channels)
+            p.decode_z(sz, cdf_group_index, start_offset, channels,
+                       idx_base=off)
+            off += sz
         self._dec_pending.append(sizes)
 
     def get_decoded_tensor(self):

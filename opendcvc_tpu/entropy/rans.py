@@ -92,17 +92,18 @@ class RansEncoder:
             self._impl.encode_y(symbols, cdf_group_index)
 
     def encode_z(self, symbols, cdf_group_index, start_offset,
-                 per_channel_size, interleaved=False):
+                 per_channel_size, interleaved=False, idx_base=0):
         symbols = np.ascontiguousarray(symbols, dtype=np.int8).reshape(-1)
         if self._native:
             self._lib.rve_enc_z(
                 self._h,
                 symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                 symbols.size, cdf_group_index, start_offset,
-                per_channel_size, 1 if interleaved else 0)
+                per_channel_size, 1 if interleaved else 0, idx_base)
         else:
             self._impl.encode_z(symbols, cdf_group_index, start_offset,
-                                per_channel_size, 1 if interleaved else 0)
+                                per_channel_size, 1 if interleaved else 0,
+                                idx_base)
 
     def flush(self):
         if self._native:
@@ -194,14 +195,15 @@ class RansDecoder:
         return self.get_decoded_tensor()
 
     def decode_z(self, total_size, cdf_group_index, start_offset,
-                 per_channel_size, interleaved=False):
+                 per_channel_size, interleaved=False, idx_base=0):
         if self._native:
             self._lib.rve_dec_z(self._h, total_size, cdf_group_index,
                                 start_offset, per_channel_size,
-                                1 if interleaved else 0)
+                                1 if interleaved else 0, idx_base)
         else:
             self._impl.decode_z(total_size, cdf_group_index, start_offset,
-                                per_channel_size, 1 if interleaved else 0)
+                                per_channel_size, 1 if interleaved else 0,
+                                idx_base)
 
     def get_decoded_tensor(self):
         if self._native:

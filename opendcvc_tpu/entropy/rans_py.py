@@ -269,17 +269,17 @@ class PyEncoderPair:
             self.e0.encode_y(symbols, group)
 
     def encode_z(self, symbols, group, start_offset, per_channel,
-                 interleaved=0):
+                 interleaved=0, idx_base=0):
         symbols = np.asarray(symbols, dtype=np.int8).reshape(-1)
         if self.use_two:
             n0 = len(symbols) // 2
             self.e0.encode_z(symbols[:n0], group, start_offset, per_channel,
-                             0, interleaved)
+                             idx_base, interleaved)
             self.e1.encode_z(symbols[n0:], group, start_offset, per_channel,
-                             n0, interleaved)
+                             idx_base + n0, interleaved)
         else:
-            self.e0.encode_z(symbols, group, start_offset, per_channel, 0,
-                             interleaved)
+            self.e0.encode_z(symbols, group, start_offset, per_channel,
+                             idx_base, interleaved)
 
     def flush(self):
         self.e0.flush()
@@ -329,16 +329,16 @@ class PyDecoderPair:
             self.d0.decode_y(indexes, group)
 
     def decode_z(self, total, group, start_offset, per_channel,
-                 interleaved=0):
+                 interleaved=0, idx_base=0):
         if self.use_two:
             n0 = total // 2
-            self.d0.decode_z(n0, group, start_offset, per_channel, 0,
-                             interleaved)
+            self.d0.decode_z(n0, group, start_offset, per_channel,
+                             idx_base, interleaved)
             self.d1.decode_z(total - n0, group, start_offset, per_channel,
-                             n0, interleaved)
+                             idx_base + n0, interleaved)
         else:
-            self.d0.decode_z(total, group, start_offset, per_channel, 0,
-                             interleaved)
+            self.d0.decode_z(total, group, start_offset, per_channel,
+                             idx_base, interleaved)
 
     def get_decoded(self):
         if self.use_two:

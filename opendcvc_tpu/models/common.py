@@ -15,6 +15,8 @@ Prior-separation semantics (common_model.py:63-85):
          channels [2:] -> (scales, means).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,25 @@ QP_NUM = 64
 
 def get_qp_num():
     return QP_NUM
+
+
+def assert_determinism_flags():
+    """Device-EC setup gate: the bit-exact enc/dec temporal-chain
+    contract requires --xla_allow_excess_precision=false to have been
+    in XLA_FLAGS *before* backend initialization (opendcvc_tpu pins it
+    at import, but only if imported before any jax op ran).  CPU is
+    exempt: its backend computes at declared precision already."""
+    if jax.devices()[0].platform == "cpu":
+        return
+    import opendcvc_tpu
+    if not getattr(opendcvc_tpu, "_excess_precision_pinned", True) or \
+            "--xla_allow_excess_precision=false" not in \
+            os.environ.get("XLA_FLAGS", ""):
+        raise RuntimeError(
+            "device-side entropy coding requires "
+            "--xla_allow_excess_precision=false in XLA_FLAGS before "
+            "JAX backend init; import opendcvc_tpu before running any "
+            "jax operation (or set the flag in the environment)")
 
 
 def get_padding_size(height, width, p=64):

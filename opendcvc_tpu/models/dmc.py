@@ -421,22 +421,19 @@ def _stage_recon_x(p, feature, qp):
 # ---------------------------------------------------------------------------
 
 
-def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
-                    n_y_rows, cap, use_pallas=False):
-    """Encoder megastage: frame + reference -> next ref feature + ONE
-    encoded lane segment (z, y0, y1 coded back-to-back per lane with
-    rANS state continuation, so the container carries a single set of
-    lane states/lengths).  Mirrors the per-stage pipeline of
-    compress_async (reference video_model.py:299-341) in one program.
+def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
+                         n_y_rows, cap, use_pallas=False):
+    """Encoder megastage body on an already-adapted feature: frame ->
+    next ref feature + ONE encoded lane segment (z, y0, y1 coded
+    back-to-back per lane with rANS state continuation, so the container
+    carries a single set of lane states/lengths).  Mirrors the per-stage
+    pipeline of compress_async (reference video_model.py:299-341) in one
+    program.
 
     Encode order per lane is reversed(y1), reversed(y0), reversed(z) —
     the decoder consumes z, then y0, then y1."""
     from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
                                        densify_segment, encode_carry_init)
-    if from_feature:
-        feature = _stage_adaptor_p(p, ref)
-    else:
-        feature = _stage_adaptor_i(p, ref)
     x1, ctx_t = _stage_fe_part1(p, feature, qp)
     ctx = _stage_fe_part2(p, x1)
     y, z_hat, z_int8 = _stage_encode_y(p, x, ctx, qp)
@@ -486,25 +483,61 @@ def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
     return feature_out, densify_segment(buf, cursors, state, cap)
 
 
-def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature,
-                      zh, zw, lanes, n_y_rows, states_off, data_off,
-                      mw, use_pallas=False):
-    """Decoder megastage: staged lane stream + reference -> next ref
-    feature + reconstructed frame, fully on-device (one H2D upload, one
-    execution).  The single segment carries z, y0, y1 back-to-back per
-    lane; the three decode sub-scans share one rANS state/pointer carry.
-    Every shared stage is the same code the encoder megastage ran, so
-    the temporal chain stays bit-identical."""
-    from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
-                                       _unpack_static)
+def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
+                    n_y_rows, cap, use_pallas=False):
+    """Single-frame encoder megastage (adaptor + core)."""
     if from_feature:
         feature = _stage_adaptor_p(p, ref)
     else:
         feature = _stage_adaptor_i(p, ref)
+    return _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
+                                n_y_rows, cap, use_pallas)
+
+
+def _compress_gop(p, xs, feature_in, qps, cum_hl, lanes, mw, n_y_rows,
+                  cap, use_pallas=False):
+    """GOP-batched encoder megastage: N consecutive P-frames in ONE
+    compiled program (lax.scan over the frame axis; the propagated
+    feature is the scan carry, an in-graph dependency).  The link's
+    per-transfer latency then amortizes over the whole chunk: one
+    execution + one dense D2H per N frames instead of per frame.  The
+    reference hides coding behind compute with CUDA streams
+    (video_model.py:314-337); on a remote-attached TPU the transfer
+    round-trip is the cost to hide, and batching is what hides it.
+
+    xs: (N, 1, H, W, C) frames; qps: (N,) int32 (hierarchical-QP shifts
+    vary inside a GOP).  The first frame consumes feature_in via the
+    same per-frame adaptor the single-frame path applies.
+
+    Returns (feature_last, segs (N, cap+3L) u16, feats_in (N, ...)) —
+    feats_in[i] is frame i's carry-in feature so a (rare) staging
+    overflow can re-run JUST that frame at a larger rung: the feature
+    chain itself never depends on the rANS staging."""
+    def body(feat, xq):
+        x, qp = xq
+        f = _stage_adaptor_p(p, feat)
+        f_out, seg = _compress_frame_core(p, x, f, qp, cum_hl, lanes,
+                                          mw, n_y_rows, cap, use_pallas)
+        return f_out, (seg, feat)
+
+    feat_last, (segs, feats_in) = lax.scan(body, feature_in, (xs, qps))
+    return feat_last, segs, feats_in
+
+
+def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
+                           lanes, n_y_rows, cap, mw, use_pallas=False):
+    """Decoder megastage body on an already-adapted feature: compact
+    staged lane stream -> next ref feature + reconstructed frame, fully
+    on-device (one H2D upload of ~true-bpp bytes, one execution).  The
+    single segment carries z, y0, y1 back-to-back per lane; the three
+    decode sub-scans share one rANS state/pointer carry.  Every shared
+    stage is the same code the encoder megastage ran, so the temporal
+    chain stays bit-identical."""
+    from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
+                                       _undensify_device)
     x1, ctx_t = _stage_fe_part1(p, feature, qp)
 
-    data, states = _unpack_static(staging, states_off, data_off,
-                                  lanes, mw)
+    data, states = _undensify_device(staging, cap, lanes, mw)
     carry = (states.astype(jnp.uint32),
              jnp.zeros((lanes,), jnp.int32))
 
@@ -552,6 +585,38 @@ def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature,
                                      ctx, qp)
     x_hat = _stage_recon_x(p, feature_out, qp)
     return feature_out, x_hat
+
+
+def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature, zh,
+                      zw, lanes, n_y_rows, cap, mw, use_pallas=False):
+    """Single-frame decoder megastage (adaptor + core)."""
+    if from_feature:
+        feature = _stage_adaptor_p(p, ref)
+    else:
+        feature = _stage_adaptor_i(p, ref)
+    return _decompress_frame_core(p, staging, feature, qp, cum_hl, zh,
+                                  zw, lanes, n_y_rows, cap, mw,
+                                  use_pallas)
+
+
+def _decompress_gop(p, stagings, feature_in, qps, cum_hl, zh, zw,
+                    lanes, n_y_rows, cap, mw, use_pallas=False):
+    """GOP-batched decoder megastage: N frames' compact stagings in ONE
+    upload + ONE execution (scan mirror of _compress_gop — the decoder
+    runs the exact same shared stage code, so the temporal chain stays
+    bit-identical across the whole chunk).
+
+    Returns (feature_last, x_hats (N, 1, H, W, C))."""
+    def body(feat, sq):
+        staging, qp = sq
+        f = _stage_adaptor_p(p, feat)
+        f_out, x_hat = _decompress_frame_core(
+            p, staging, f, qp, cum_hl, zh, zw, lanes, n_y_rows, cap,
+            mw, use_pallas)
+        return f_out, x_hat
+
+    feat_last, x_hats = lax.scan(body, feature_in, (stagings, qps))
+    return feat_last, x_hats
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +687,11 @@ class DMC:
             _compress_frame, static_argnums=(5, 6, 7, 8, 9, 10))
         self._j_decompress_frame = jax.jit(
             _decompress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                               12, 13))
+                                               12))
+        self._j_compress_gop = jax.jit(
+            _compress_gop, static_argnums=(5, 6, 7, 8, 9))
+        self._j_decompress_gop = jax.jit(
+            _decompress_gop, static_argnums=(5, 6, 7, 8, 9, 10, 11))
 
     # -- setup ---------------------------------------------------------------
 
@@ -631,11 +700,17 @@ class DMC:
         return C.QP_NUM
 
     def init_params(self, seed=0):
-        self.params = dmc_init(jax.random.PRNGKey(seed))
-        if self.dtype != jnp.float32:
-            self.params = jax.tree_util.tree_map(
-                lambda a: a.astype(self.dtype)
-                if a.dtype == jnp.float32 else a, self.params)
+        # ONE compiled program for the whole init: eagerly, the ~300
+        # small random ops each pay the full dispatch latency on
+        # remote-attached devices (minutes); jitted, it's one execution
+        def build(key):
+            p = dmc_init(key)
+            if self.dtype != jnp.float32:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(self.dtype)
+                    if a.dtype == jnp.float32 else a, p)
+            return p
+        self.params = jax.jit(build)(jax.random.PRNGKey(seed))
         return self.params
 
     def load_params(self, params):
@@ -654,6 +729,7 @@ class DMC:
         self.bit_estimator_z.update(self.params["bit_estimator_z"],
                                     self.entropy_coder)
         if self.device_ec:
+            C.assert_determinism_flags()
             from ..entropy.device_rans import (DeviceRansEncoder,
                                                DeviceRansDecoder,
                                                full_range_cdf_rows)
@@ -782,15 +858,63 @@ class DMC:
         return k, max(8, int(k * bps / 2)) + 4
 
     @staticmethod
-    def _cap_for(lanes, mw):
+    def _cap_for(lanes, mw, top_rung=False):
         # dense-payload budget: sum(lens) <= lanes * max_len, and the
         # strided lane layout keeps max_len near the MEAN lane length,
         # so a fixed fraction of the staging rectangle bounds the dense
         # payload; the regrow ladder doubles it alongside mw on
         # overflow.  The fraction trades D2H bytes against regrow
         # frequency (every D2H byte costs link time on tunneled chips).
+        # At the TOP rung the cap is the full rectangle — each symbol
+        # emits at most one u16 word, so lanes*mw always fits and the
+        # ladder terminates (no same-config relaunch loop).
+        if top_rung:
+            return lanes * mw
         frac = float(os.environ.get("OPENDCVC_TPU_EC_CAP_FRAC", 0.5))
         return max(4096, int(lanes * mw * frac) // 8 * 8)
+
+    def _plan_device_ec(self, H, W):
+        """Static lane-coding plan for a frame size: symbol counts and
+        the first-rung (mw, cap)."""
+        enc = self.device_encoder
+        n_y = (H // 16) * (W // 16) * G_CH_Y // 2
+        zh, zw = C.get_downsampled_shape(H, W, 64)
+        n_z = zh * zw * G_CH_Z
+        k_y = -(-n_y // enc.lanes)
+        k_z = -(-n_z // enc.lanes)
+        k_total = k_z + 2 * k_y
+        n_total = enc.lanes * k_total
+        bps = enc.bytes_per_symbol
+        _, mw = self._mw_for(n_total, enc.lanes, bps)
+        cap = self._cap_for(enc.lanes, mw)
+        return n_total, k_total, bps, mw, cap
+
+    def _finish_one_device(self, arr, mw, cap, bps, n_total, k_total,
+                           rerun):
+        """Overflow-check one fetched compact staging and serialize it;
+        `rerun(mw, cap)` re-executes the frame at a grown rung (XLA scan
+        path: overflow frames are rare and each extra Pallas (mw, cap)
+        config would cost a fresh multi-minute Mosaic compile)."""
+        from ..entropy.device_rans import (serialize_frame_dense,
+                                           undensify_packed)
+        enc = self.device_encoder
+        g_mw, g_cap, g_bps = mw, cap, bps
+        dense, ln, st = undensify_packed(arr, g_cap, enc.lanes)
+        for _ in range(8):
+            if int(ln.max(initial=0)) < g_mw - 2 \
+                    and int(ln.sum()) <= g_cap:
+                return serialize_frame_dense(dense, ln, st, n_total,
+                                             k_total, g_mw, g_cap)
+            # rare hard frame: grow staging + dense cap, re-run
+            top = g_bps >= 3.0
+            g_bps = min(g_bps * 2, 3.0)
+            _, g_mw = self._mw_for(n_total, enc.lanes, g_bps)
+            g_cap = self._cap_for(enc.lanes, g_mw, top_rung=top)
+            t = rerun(g_mw, g_cap)
+            dense, ln, st = undensify_packed(
+                jax.device_get(t), g_cap, enc.lanes)
+        raise OverflowError(
+            "device rANS staging overflowed at the top ladder rung")
 
     def _compress_async_device(self, x, qp, qp_dev):
         """Device-EC encode: ONE execution per frame (all NN stages +
@@ -804,16 +928,7 @@ class DMC:
             else jnp.asarray(self.dpb[0].frame, self.dtype)
 
         H, W = x.shape[1], x.shape[2]
-        n_y = (H // 16) * (W // 16) * G_CH_Y // 2
-        zh, zw = C.get_downsampled_shape(H, W, 64)
-        n_z = zh * zw * G_CH_Z
-        k_y = -(-n_y // enc.lanes)
-        k_z = -(-n_z // enc.lanes)
-        k_total = k_z + 2 * k_y
-        n_total = enc.lanes * k_total
-        bps = enc.bytes_per_symbol
-        _, mw = self._mw_for(n_total, enc.lanes, bps)
-        cap = self._cap_for(enc.lanes, mw)
+        n_total, k_total, bps, mw, cap = self._plan_device_ec(H, W)
 
         def run(mw, cap, use_pallas):
             return self._j_compress_frame(
@@ -828,27 +943,63 @@ class DMC:
         self.add_ref_frame(feature_out, None)
 
         def finish_device():
-            from ..entropy.device_rans import (serialize_frame_dense,
-                                               undensify_packed)
-            arr = jax.device_get(packed)
-            g_mw, g_cap, g_bps = mw, cap, bps
-            dense, ln, st = undensify_packed(arr, g_cap, enc.lanes)
-            while int(ln.max(initial=0)) >= g_mw - 2 \
-                    or int(ln.sum()) > g_cap:
-                # rare hard frame: grow staging + dense cap, re-run
-                g_bps = min(g_bps * 2, 3.0)
-                _, g_mw = self._mw_for(n_total, enc.lanes, g_bps)
-                g_cap = self._cap_for(enc.lanes, g_mw)
-                # regrow re-runs on the XLA scan path: overflow frames
-                # are rare and each extra Pallas (mw, cap) config would
-                # cost a fresh multi-minute Mosaic compile
-                _, t = run(g_mw, g_cap, False)
-                dense, ln, st = undensify_packed(
-                    jax.device_get(t), g_cap, enc.lanes)
-            return serialize_frame_dense(dense, ln, st, n_total, k_total,
-                                         g_mw)
+            return self._finish_one_device(
+                jax.device_get(packed), mw, cap, bps, n_total, k_total,
+                lambda m, c: run(m, c, False)[1])
 
         return finish_device
+
+    def compress_gop_async(self, frames, qps):
+        """GOP-batched device-EC encode: N consecutive P-frames in ONE
+        device execution and ONE dense D2H (the link's per-transfer
+        latency amortizes over the chunk; see _compress_gop).  Requires
+        a feature reference in the DPB (encode the first P after an I
+        with compress_async).  Returns a zero-arg callable producing the
+        list of per-frame bit streams (same container each frame as the
+        single-frame path)."""
+        if not self.device_ec or self.force_zero_thres is not None:
+            raise ValueError("compress_gop_async requires device-EC "
+                             "mode without skip thresholding")
+        if self.dpb[0].feature is None:
+            raise ValueError("compress_gop_async needs a feature "
+                             "reference (encode the first P-frame with "
+                             "compress_async)")
+        p = self.params
+        enc = self.device_encoder
+        xs = jnp.stack([jnp.asarray(x, self.dtype) for x in frames])
+        qps_arr = jnp.asarray(np.asarray(qps, np.int32))
+        qps_np = [int(q) for q in qps]
+
+        H, W = xs.shape[2], xs.shape[3]
+        n_total, k_total, bps, mw, cap = self._plan_device_ec(H, W)
+
+        feat_last, segs, feats_in = self._j_compress_gop(
+            p, xs, self.dpb[0].feature, qps_arr, enc.cum_hl, enc.lanes,
+            mw, enc.n_y_rows, cap, _use_pallas_ec())
+        try:
+            segs.copy_to_host_async()
+        except Exception:
+            pass
+        self.add_ref_frame(feat_last, None, increase_poc=False)
+        self.curr_poc += len(frames)
+
+        def finish_gop():
+            arr = jax.device_get(segs)
+            streams = []
+            for i in range(len(frames)):
+                def rerun(m, c, i=i):
+                    return self._j_compress_frame(
+                        p, jnp.asarray(frames[i], self.dtype),
+                        feats_in[i], np.int32(qps_np[i]), enc.cum_hl,
+                        True, enc.lanes, m, enc.n_y_rows, c, False)[1]
+                streams.append(self._finish_one_device(
+                    arr[i], mw, cap, bps, n_total, k_total, rerun))
+            return streams
+
+        return finish_gop
+
+    def compress_gop(self, frames, qps):
+        return {"bit_streams": self.compress_gop_async(frames, qps)()}
 
     def compress(self, x, qp):
         finish = self.compress_async(x, qp)
@@ -857,27 +1008,61 @@ class DMC:
     # -- decompress ----------------------------------------------------------
 
     def _decompress_device(self, bit_stream, sps, qp):
-        """Device-EC decode: one H2D of the staged segments and ONE
-        execution per frame (lane decoders + all NN stages fused)."""
+        """Device-EC decode: one compact (~true-bpp) H2D upload and ONE
+        execution per frame (device-side lane re-expansion + lane
+        decoders + all NN stages fused)."""
         from ..entropy.device_rans import parse_frame
         p = self.params
         qp_dev = np.int32(qp)
         dec = self.device_decoder
 
-        metas, stream_np = parse_frame(bit_stream)
-        stream_dev = jnp.asarray(stream_np)  # ONE upload per frame
+        m, staging_np, _ = parse_frame(bit_stream)
+        stream_dev = jnp.asarray(staging_np)  # ONE upload per frame
 
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         from_feature = self.dpb[0].feature is not None
         ref = self.dpb[0].feature if from_feature \
             else jnp.asarray(self.dpb[0].frame, self.dtype)
-        m = metas[0]
         feature_out, x_hat = self._j_decompress_frame(
             p, stream_dev, ref, qp_dev, dec.cum_hl, from_feature,
-            zh, zw, m["L"], dec.n_y_rows, m["states_off"],
-            m["data_off"], m["MW"], _use_pallas_ec())
+            zh, zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
+            _use_pallas_ec())
         self.add_ref_frame(feature_out, x_hat)
         return {"x_hat": x_hat}
+
+    def decompress_gop(self, bit_streams, sps, qps):
+        """GOP-batched device-EC decode: N frames' compact stagings in
+        ONE upload + ONE execution.  Falls back to per-frame decode when
+        the chunk's containers disagree on the lane configuration (a
+        frame that hit the regrow ladder).  Returns
+        {"x_hat": (N, 1, H, W, C)} with the DPB advanced past the whole
+        chunk."""
+        from ..entropy.device_rans import parse_frame
+        if not self.device_ec or self.force_zero_thres is not None:
+            raise ValueError("decompress_gop requires device-EC mode")
+        if self.dpb[0].feature is None:
+            raise ValueError("decompress_gop needs a feature reference "
+                             "(decode the first P-frame with "
+                             "decompress)")
+        p = self.params
+        dec = self.device_decoder
+        parsed = [parse_frame(s) for s in bit_streams]
+        metas = [m for m, _, _ in parsed]
+        if len({(m["L"], m["MW"], m["cap"]) for m in metas}) != 1:
+            outs = [self.decompress(s, sps, q)["x_hat"]
+                    for s, q in zip(bit_streams, qps)]
+            return {"x_hat": jnp.stack(outs)}
+        m = metas[0]
+        stagings = jnp.asarray(np.stack([st for _, st, _ in parsed]))
+        qps_arr = jnp.asarray(np.asarray(qps, np.int32))
+        zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        feat_last, x_hats = self._j_decompress_gop(
+            p, stagings, self.dpb[0].feature, qps_arr, dec.cum_hl, zh,
+            zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
+            _use_pallas_ec())
+        self.add_ref_frame(feat_last, x_hats[-1], increase_poc=False)
+        self.curr_poc += len(bit_streams)
+        return {"x_hat": x_hats}
 
     def decompress(self, bit_stream, sps, qp):
         p = self.params

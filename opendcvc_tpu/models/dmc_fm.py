@@ -517,7 +517,8 @@ def make_fm_device_stages(cfg):
     from .dmc import _lane_layout, _lane_unlayout
     from ..entropy.device_rans import (_encode_scan_carry,
                                        _decode_scan_carry,
-                                       _unpack_static, densify_segment,
+                                       _undensify_device,
+                                       densify_segment,
                                        encode_carry_init)
     st = make_pass_stages(cfg, 4)
 
@@ -582,9 +583,8 @@ def make_fm_device_stages(cfg):
     def decompress_frame(p, staging, ref_frame, ref_feature,
                          ref_mv_feature, ref_y, ref_mv_y, fa_idx,
                          q_index, cum_hl, steady, yh, yw, zh, zw,
-                         lanes, n_y_rows, states_off, data_off, mw):
-        data, states = _unpack_static(staging, states_off, data_off,
-                                      lanes, mw)
+                         lanes, n_y_rows, cap, mw):
+        data, states = _undensify_device(staging, cap, lanes, mw)
         carry = (states.astype(jnp.uint32),
                  jnp.zeros((lanes,), jnp.int32))
 
@@ -647,7 +647,7 @@ def make_fm_device_stages(cfg):
                          static_argnums=(10, 11, 12, 13, 14))
     j_decompress = jax.jit(decompress_frame,
                            static_argnums=(10, 11, 12, 13, 14, 15, 16,
-                                           17, 18, 19))
+                                           17, 18))
     return j_compress, j_decompress
 
 
@@ -717,12 +717,17 @@ class DMCFM:
         return QP_NUM
 
     def init_params(self, seed=0):
-        self.params = dmc_fm_init(jax.random.PRNGKey(seed))
-        # keep anchors apart so log-interp is well-defined with random init
-        self.params["mv_y_q_enc"] = jnp.array([0.5, 2.0])
-        self.params["mv_y_q_dec"] = jnp.array([0.5, 2.0])
-        self.params["y_q_enc"] = jnp.array([0.5, 2.0])
-        self.params["y_q_dec"] = jnp.array([0.5, 2.0])
+        # one compiled program (see models/dmc.py init_params)
+        def build(key):
+            p = dmc_fm_init(key)
+            # keep anchors apart so log-interp is well-defined with
+            # random init
+            p["mv_y_q_enc"] = jnp.array([0.5, 2.0])
+            p["mv_y_q_dec"] = jnp.array([0.5, 2.0])
+            p["y_q_enc"] = jnp.array([0.5, 2.0])
+            p["y_q_dec"] = jnp.array([0.5, 2.0])
+            return p
+        self.params = jax.jit(build)(jax.random.PRNGKey(seed))
         return self.params
 
     def load_params(self, params):
@@ -748,6 +753,7 @@ class DMCFM:
             from .prior_stages import make_pass_stages
             self._stages = make_pass_stages(self._cfg, 4)
         if self.device_ec:
+            C.assert_determinism_flags()
             from ..entropy.device_rans import (DeviceRansEncoder,
                                                DeviceRansDecoder,
                                                full_range_cdf_rows)
@@ -798,7 +804,7 @@ class DMCFM:
 
     # -- compress / decompress -------------------------------------------------
 
-    def _mw_cap_for(self, H, W):
+    def _mw_cap_for(self, H, W, top_rung=False):
         lanes = self.device_encoder.lanes
         n_y = (H // 16) * (W // 16) * G_CH_16X // 4
         n_mv = (H // 16) * (W // 16) * CH_MV // 4
@@ -807,7 +813,8 @@ class DMCFM:
                    + (-(-(zh * zw * G_CH_Z) // lanes))
                    + (-(-(zh * zw * CH_MV) // lanes)))
         mw = max(8, int(k_total * self._cur_bps / 2)) + 4
-        cap = max(4096, lanes * mw // 2)
+        # top rung: full rectangle, so the regrow ladder terminates
+        cap = lanes * mw if top_rung else max(4096, lanes * mw // 2)
         n_total = lanes * k_total
         return mw, cap, n_total, k_total
 
@@ -836,16 +843,23 @@ class DMCFM:
                                            undensify_packed)
         dense, ln, st = undensify_packed(jax.device_get(staging), cap,
                                          enc.lanes)
-        while int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
+        for _ in range(8):
+            if int(ln.max(initial=0)) < mw - 2 and int(ln.sum()) <= cap:
+                break
             # hard frame: grow the staging ladder and re-run
+            top = self._cur_bps >= 3.0
             self._cur_bps = min(self._cur_bps * 2, 3.0)
-            mw, cap, n_total, k_total = self._mw_cap_for(H, W)
+            mw, cap, n_total, k_total = self._mw_cap_for(H, W,
+                                                         top_rung=top)
             out = run(mw, cap)
             staging = out[5]
             dense, ln, st = undensify_packed(jax.device_get(staging),
                                              cap, enc.lanes)
+        else:
+            raise OverflowError(
+                "device rANS staging overflowed at the top ladder rung")
         bit_stream = serialize_frame_dense(dense, ln, st, n_total,
-                                           k_total, mw)
+                                           k_total, mw, cap)
         return {
             "dpb": {"ref_frame": x_hat, "ref_feature": feature,
                     "ref_mv_feature": mv_feature, "ref_y": y_hat,
@@ -858,9 +872,8 @@ class DMCFM:
         p = self.params
         dec = self.device_decoder
         steady = dpb["ref_feature"] is not None
-        metas, staging_np = parse_frame(bit_stream)
+        m, staging_np, _ = parse_frame(bit_stream)
         stream_dev = jnp.asarray(staging_np)
-        m = metas[0]
         yh, yw = C.get_downsampled_shape(sps["height"], sps["width"], 16)
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         zeros = jnp.zeros((), self.dtype)
@@ -872,7 +885,7 @@ class DMCFM:
             dpb["ref_mv_y"] if steady else zeros,
             jnp.int32(sps["fa_idx"]), jnp.int32(sps["qp"]), dec.cum_hl,
             steady, yh, yw, zh, zw, m["L"], dec.n_y_rows,
-            m["states_off"], m["data_off"], m["MW"])
+            m["cap"], m["MW"])
         x_hat, feature, mv_feature, y_hat, mv_y_hat = out
         return {
             "dpb": {"ref_frame": x_hat, "ref_feature": feature,

@@ -283,13 +283,11 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap):
 
 
 def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
-                        z_channel, lanes, n_y_rows, states_off,
-                        data_off, mw, dt_name):
+                        z_channel, lanes, n_y_rows, cap, mw, dt_name):
     from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
-                                       _unpack_static)
+                                       _undensify_device)
     from .dmc import _lane_layout, _lane_unlayout
-    data, states = _unpack_static(staging, states_off, data_off,
-                                  lanes, mw)
+    data, states = _undensify_device(staging, cap, lanes, mw)
     carry = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
 
     n_z = zh * zw * z_channel
@@ -373,7 +371,7 @@ class DMCI:
             _compress_frame_i, static_argnums=(4, 5, 6, 7))
         self._j_decompress_frame = jax.jit(
             _decompress_frame_i,
-            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -393,12 +391,15 @@ class DMCI:
         return C.get_downsampled_shape(height, width, p)
 
     def init_params(self, seed=0):
-        self.params = dmci_init(jax.random.PRNGKey(seed), self.N,
-                                self.z_channel)
-        if self.dtype != jnp.float32:
-            self.params = jax.tree_util.tree_map(
-                lambda a: a.astype(self.dtype)
-                if a.dtype == jnp.float32 else a, self.params)
+        # one compiled program (see models/dmc.py init_params)
+        def build(key):
+            p = dmci_init(key, self.N, self.z_channel)
+            if self.dtype != jnp.float32:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(self.dtype)
+                    if a.dtype == jnp.float32 else a, p)
+            return p
+        self.params = jax.jit(build)(jax.random.PRNGKey(seed))
         return self.params
 
     def load_params(self, params):
@@ -419,6 +420,7 @@ class DMCI:
         self.bit_estimator_z.update(self.params["bit_estimator_z"],
                                     self.entropy_coder)
         if self.device_ec:
+            C.assert_determinism_flags()
             from ..entropy.device_rans import (DeviceRansEncoder,
                                                DeviceRansDecoder,
                                                full_range_cdf_rows)
@@ -437,7 +439,7 @@ class DMCI:
 
     # -- compress -----------------------------------------------------------
 
-    def _mw_cap_for(self, H, W, bps=None):
+    def _mw_cap_for(self, H, W, bps=None, top_rung=False):
         lanes = self.device_encoder.lanes
         if bps is None:
             bps = self.device_encoder.bytes_per_symbol
@@ -447,40 +449,73 @@ class DMCI:
         k_total = 4 * (-(-n_y // lanes)) \
             + (-(-(zh * zw * self.z_channel) // lanes))
         mw = max(8, int(k_total * bps / 2)) + 4
-        cap = max(4096, lanes * mw // 2)
+        # top rung: full rectangle (each symbol emits at most one word,
+        # so lanes*mw always fits and the regrow ladder terminates)
+        cap = lanes * mw if top_rung else max(4096, lanes * mw // 2)
         return mw, cap, lanes * k_total, k_total
 
-    def _compress_device(self, x, qp_dev):
+    def _compress_device_async(self, x, qp_dev):
         """Device-EC encode: ONE execution + one dense D2H per frame
-        (design mirrors DMC, models/dmc.py)."""
+        (design mirrors DMC, models/dmc.py).  Returns (x_hat, finish):
+        frames are independent, so callers can pipeline many frames'
+        executions and overlap the fetches."""
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
         enc = self.device_encoder
         H, W = x.shape[1], x.shape[2]
-        bps = enc.bytes_per_symbol
-        mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
+        bps0 = enc.bytes_per_symbol
+        mw0, cap0, _, _ = self._mw_cap_for(H, W, bps0)
         x_hat, staging = self._j_compress_frame(
-            self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
-            enc.n_y_rows, cap)
+            self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw0,
+            enc.n_y_rows, cap0)
         try:
             staging.copy_to_host_async()
         except Exception:
             pass
-        arr = jax.device_get(staging)
-        dense, ln, st = undensify_packed(arr, cap, enc.lanes)
-        while int(ln.max(initial=0)) >= mw - 2 or int(ln.sum()) > cap:
-            # hard frame: grow the staging ladder and re-run
-            bps = min(bps * 2, 3.0)
-            mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
-            _, staging = self._j_compress_frame(
-                self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
-                enc.n_y_rows, cap)
-            dense, ln, st = undensify_packed(jax.device_get(staging),
-                                             cap, enc.lanes)
-        return {"bit_stream": serialize_frame_dense(dense, ln, st,
-                                                    n_total, k_total,
-                                                    mw),
-                "x_hat": x_hat}
+
+        def finish():
+            bps, mw, cap = bps0, mw0, cap0
+            _, _, n_total, k_total = self._mw_cap_for(H, W, bps)
+            arr = jax.device_get(staging)
+            dense, ln, st = undensify_packed(arr, cap, enc.lanes)
+            for _ in range(8):
+                if int(ln.max(initial=0)) < mw - 2 \
+                        and int(ln.sum()) <= cap:
+                    break
+                # hard frame: grow the staging ladder and re-run (top
+                # rung uses the full rectangle, so the loop terminates)
+                top = bps >= 3.0
+                bps = min(bps * 2, 3.0)
+                mw, cap, n_total, k_total = self._mw_cap_for(
+                    H, W, bps, top_rung=top)
+                _, t = self._j_compress_frame(
+                    self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
+                    enc.n_y_rows, cap)
+                dense, ln, st = undensify_packed(jax.device_get(t),
+                                                 cap, enc.lanes)
+            else:
+                raise OverflowError(
+                    "device rANS staging overflowed at the top ladder "
+                    "rung")
+            return serialize_frame_dense(dense, ln, st, n_total,
+                                         k_total, mw, cap)
+
+        return x_hat, finish
+
+    def _compress_device(self, x, qp_dev):
+        x_hat, finish = self._compress_device_async(x, qp_dev)
+        return {"bit_stream": finish(), "x_hat": x_hat}
+
+    def compress_async(self, x, qp):
+        """Pipelined device-EC encode: dispatches the megastage and the
+        async fetch, returns (x_hat, finish) where finish() yields the
+        bit stream.  Intra frames are independent, so a caller can keep
+        several frames in flight (the reference overlaps coding with
+        compute via CUDA streams, image_model.py:163-180)."""
+        if not (self.device_ec and self.force_zero_thres is None):
+            raise ValueError("compress_async requires device-EC mode")
+        return self._compress_device_async(
+            jnp.asarray(x, dtype=self.dtype), np.int32(qp))
 
     def compress(self, x, qp):
         """x: (1, H, W, 3) in [0,1], H/W multiples of 16. Returns dict with
@@ -535,22 +570,22 @@ class DMCI:
     # -- decompress ----------------------------------------------------------
 
     def _decompress_device(self, bit_stream, sps, qp):
-        """Device-EC decode: one H2D upload and ONE execution per frame
-        (lane decoders + the four restore passes + recon fused)."""
+        """Device-EC decode: one compact (~true-bpp) H2D upload and ONE
+        execution per frame (device-side lane re-expansion + lane
+        decoders + the four restore passes + recon fused)."""
         from ..entropy.device_rans import parse_frame
         qp_dev = np.int32(qp)
         dec = self.device_decoder
 
-        metas, staging = parse_frame(bit_stream)
+        m, staging, _ = parse_frame(bit_stream)
         stream_dev = jnp.asarray(staging)  # ONE upload per frame
-        m = metas[0]
 
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"], 16)
         x_hat = self._j_decompress_frame(
             self.params, stream_dev, qp_dev, dec.cum_hl, zh, zw, y_h,
-            y_w, self.z_channel, m["L"], dec.n_y_rows, m["states_off"],
-            m["data_off"], m["MW"], np.dtype(self.dtype).name)
+            y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
+            m["MW"], np.dtype(self.dtype).name)
         return {"x_hat": x_hat}
 
     def decompress(self, bit_stream, sps, qp):

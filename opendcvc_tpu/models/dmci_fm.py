@@ -187,6 +187,91 @@ def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
     return jnp.clip(refine(p, out), 0.0, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# fused per-frame device-EC megastages (same design as models/dmci.py):
+# ONE compiled program per frame per side; the five symbol planes
+# (z + four quadtree passes) code back-to-back per lane with rANS state
+# continuation, and only a dense ~true-bpp staging vector crosses the
+# link.
+# ---------------------------------------------------------------------------
+
+
+def _compress_frame_ifm(p, x, qp, cum_hl, cfg, lanes, mw, n_y_rows,
+                        cap, z_channel):
+    from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
+                                       densify_segment,
+                                       encode_carry_init)
+    from .dmc import _lane_layout
+    y, z_hat, z_int8 = _stage_enc_front(p, x, qp)
+    y_h, y_w = y.shape[1], y.shape[2]
+    q_enc, q_dec_p, scales, means, reduced = _stage_prior(p, z_hat,
+                                                          y_h, y_w)
+    planes = []
+    y_s, pk0, so_far = _stage_enc_pass0(y, q_enc, scales, means, cfg)
+    planes.append(pk0)
+    for k in range(1, 4):
+        scales, means = _stage_spatial(p, k, so_far, reduced)
+        pk, so_far = _stage_enc_pass(y_s, scales, means, so_far, k, cfg)
+        planes.append(pk)
+    x_hat = _stage_recon(p, so_far, q_dec_p, qp)
+
+    carry = encode_carry_init(lanes, mw)
+    cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    for pk in reversed(planes):
+        flat = pk.reshape(-1).astype(jnp.int32)
+        s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
+        carry = _encode_scan_carry(s_l, r_l, cum_y, carry)
+    z_sym = z_int8.reshape(-1).astype(jnp.int32)
+    z_rows = n_y_rows + qp * z_channel \
+        + (jnp.arange(z_sym.shape[0]) % z_channel)
+    s_l, r_l = _lane_layout(z_sym, z_rows, lanes, True)
+    cum_sub, rows_local = _slice_rows(cum_hl, r_l, z_channel,
+                                      n_y_rows + qp * z_channel)
+    state, cursors, buf = _encode_scan_carry(s_l, rows_local, cum_sub,
+                                             carry)
+    return x_hat, densify_segment(buf, cursors, state, cap)
+
+
+def _decompress_frame_ifm(p, staging, qp, cum_hl, cfg, zh, zw, y_h,
+                          y_w, z_channel, lanes, n_y_rows, cap, mw,
+                          dt_name):
+    from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
+                                       _undensify_device)
+    from .dmc import _lane_layout, _lane_unlayout
+    data, states = _undensify_device(staging, cap, lanes, mw)
+    carry = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
+
+    n_z = zh * zw * z_channel
+    z_rows = n_y_rows + qp * z_channel + (jnp.arange(n_z) % z_channel)
+    rows_l, _ = _lane_layout(z_rows, z_rows, lanes, False)
+    cum_sub, rows_local = _slice_rows(cum_hl, rows_l, z_channel,
+                                      n_y_rows + qp * z_channel)
+    z_syms, carry = _decode_scan_carry(data, rows_local, cum_sub, carry)
+    z_hat = _lane_unlayout(z_syms, n_z).reshape(1, zh, zw, z_channel) \
+        .astype(jnp.dtype(dt_name))
+
+    _, q_dec_p, scales, means, reduced = _stage_prior(p, z_hat, y_h,
+                                                      y_w)
+
+    cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    y_hat_so_far = None
+    for k in range(4):
+        if k > 0:
+            scales, means = _stage_spatial(p, k, y_hat_so_far, reduced)
+        indexes = _stage_fold_index(scales, k, cfg)
+        _, ih, iw, ic = indexes.shape
+        n_y = ih * iw * ic
+        rows_l, _ = _lane_layout(indexes.reshape(-1).astype(jnp.int32),
+                                 indexes.reshape(-1).astype(jnp.int32),
+                                 lanes, False)
+        y_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
+        y_q_r = _lane_unlayout(y_syms, n_y).reshape(1, ih, iw, ic) \
+            .astype(means.dtype)
+        y_hat_so_far = _stage_dec_restore(y_q_r, means, y_hat_so_far, k)
+
+    return _stage_recon(p, y_hat_so_far, q_dec_p, qp)
+
+
 class DMCIFM:
     """FM-generation intra codec."""
 
@@ -213,9 +298,25 @@ class DMCIFM:
                                       static_argnums=(3,))
         self._j_recon = jax.jit(_stage_recon)
 
+        import os as _os
+        self.device_ec = _os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
+            not in ("0", "false", "False")
+        self.ec_lanes = int(_os.environ.get("OPENDCVC_TPU_EC_LANES",
+                                            4096))
+        self.ec_bps = float(_os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5))
+        self.device_encoder = None
+        self.device_decoder = None
+        self._j_compress_frame = jax.jit(
+            _compress_frame_ifm, static_argnums=(4, 5, 6, 7, 8, 9))
+        self._j_decompress_frame = jax.jit(
+            _decompress_frame_ifm,
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+
     def init_params(self, seed=0):
-        self.params = dmci_fm_init(jax.random.PRNGKey(seed), self.N,
-                                   self.z_channel)
+        # one compiled program (see models/dmc.py init_params)
+        self.params = jax.jit(
+            lambda k: dmci_fm_init(k, self.N, self.z_channel))(
+                jax.random.PRNGKey(seed))
         return self.params
 
     def load_params(self, params):
@@ -230,14 +331,93 @@ class DMCIFM:
                      self.gaussian_encoder.SCALE_MAX,
                      float(np.log(self.gaussian_encoder.SCALE_MIN)),
                      self.gaussian_encoder.log_step_recip)
+        if self.device_ec:
+            C.assert_determinism_flags()
+            from ..entropy.device_rans import (DeviceRansEncoder,
+                                               DeviceRansDecoder,
+                                               full_range_cdf_rows)
+            y_rows = full_range_cdf_rows(*self.gaussian_encoder.cdf_info)
+            z_rows = full_range_cdf_rows(*self.bit_estimator_z.cdf_info)
+            self.device_encoder = DeviceRansEncoder(
+                lanes=self.ec_lanes, bytes_per_symbol=self.ec_bps)
+            self.device_encoder.set_tables(y_rows, z_rows)
+            self.device_decoder = DeviceRansDecoder()
+            self.device_decoder.set_tables(y_rows, z_rows)
 
     def set_use_two_entropy_coders(self, b):
         self.entropy_coder.set_use_two_entropy_coders(b)
+
+    def _mw_cap_for(self, H, W, bps=None, top_rung=False):
+        lanes = self.device_encoder.lanes
+        if bps is None:
+            bps = self.device_encoder.bytes_per_symbol
+        y_h, y_w = C.get_downsampled_shape(H, W, 16)
+        zh, zw = C.get_downsampled_shape(H, W, 64)
+        n_y = y_h * y_w * self.N // 4
+        k_total = 4 * (-(-n_y // lanes)) \
+            + (-(-(zh * zw * self.z_channel) // lanes))
+        mw = max(8, int(k_total * bps / 2)) + 4
+        cap = lanes * mw if top_rung else max(4096, lanes * mw // 2)
+        return mw, cap, lanes * k_total, k_total
+
+    def _compress_device(self, x, q_index):
+        from ..entropy.device_rans import (serialize_frame_dense,
+                                           undensify_packed)
+        enc = self.device_encoder
+        H, W = x.shape[1], x.shape[2]
+        qp_dev = np.int32(q_index)
+        bps = enc.bytes_per_symbol
+        mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
+        x_hat, staging = self._j_compress_frame(
+            self.params, x, qp_dev, enc.cum_hl, self._cfg, enc.lanes,
+            mw, enc.n_y_rows, cap, self.z_channel)
+        try:
+            staging.copy_to_host_async()
+        except Exception:
+            pass
+        dense, ln, st = undensify_packed(jax.device_get(staging), cap,
+                                         enc.lanes)
+        for _ in range(8):
+            if int(ln.max(initial=0)) < mw - 2 and int(ln.sum()) <= cap:
+                break
+            top = bps >= 3.0
+            bps = min(bps * 2, 3.0)
+            mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps,
+                                                         top_rung=top)
+            _, staging = self._j_compress_frame(
+                self.params, x, qp_dev, enc.cum_hl, self._cfg,
+                enc.lanes, mw, enc.n_y_rows, cap, self.z_channel)
+            dense, ln, st = undensify_packed(jax.device_get(staging),
+                                             cap, enc.lanes)
+        else:
+            raise OverflowError(
+                "device rANS staging overflowed at the top ladder rung")
+        return {"bit_stream": serialize_frame_dense(dense, ln, st,
+                                                    n_total, k_total,
+                                                    mw, cap),
+                "x_hat": x_hat}
+
+    def _decompress_device(self, bit_stream, sps):
+        from ..entropy.device_rans import parse_frame
+        dec = self.device_decoder
+        m, staging, _ = parse_frame(bit_stream)
+        stream_dev = jnp.asarray(staging)
+        zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"],
+                                           16)
+        x_hat = self._j_decompress_frame(
+            self.params, stream_dev, np.int32(sps["qp"]), dec.cum_hl,
+            self._cfg, zh, zw, y_h, y_w, self.z_channel, m["L"],
+            dec.n_y_rows, m["cap"], m["MW"],
+            np.dtype(self.dtype).name)
+        return {"x_hat": x_hat}
 
     def compress(self, x, q_index):
         p = self.params
         x = jnp.asarray(x, self.dtype)
         qp = jnp.int32(q_index)
+        if self.device_ec:
+            return self._compress_device(x, q_index)
         y, z_hat, z_int8 = self._j_enc_front(p, x, qp)
         y_h, y_w = y.shape[1], y.shape[2]
         q_enc, q_dec_p, scales, means, reduced = self._j_prior(p, z_hat,
@@ -266,6 +446,8 @@ class DMCIFM:
     def decompress(self, bit_stream, sps):
         p = self.params
         qp = jnp.int32(sps["qp"])
+        if self.device_ec:
+            return self._decompress_device(bit_stream, sps)
         self.entropy_coder.set_stream(bit_stream)
         z_size = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"], 16)

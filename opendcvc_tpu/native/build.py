@@ -73,7 +73,7 @@ def load_library():
         lib.rve_enc_reset.argtypes = [p]
         lib.rve_enc_y.argtypes = [p, i16p, c.c_int, c.c_int]
         lib.rve_enc_z.argtypes = [p, i8p, c.c_int, c.c_int, c.c_int,
-                                  c.c_int, c.c_int]
+                                  c.c_int, c.c_int, c.c_int]
         lib.rve_enc_flush.argtypes = [p]
         lib.rve_enc_stream_size.restype = c.c_int
         lib.rve_enc_stream_size.argtypes = [p]
@@ -90,7 +90,7 @@ def load_library():
         lib.rve_dec_set_stream.argtypes = [p, u8p, c.c_int]
         lib.rve_dec_y.argtypes = [p, u8p, c.c_int, c.c_int]
         lib.rve_dec_z.argtypes = [p, c.c_int, c.c_int, c.c_int, c.c_int,
-                                  c.c_int]
+                                  c.c_int, c.c_int]
         lib.rve_dec_size.restype = c.c_int
         lib.rve_dec_size.argtypes = [p]
         lib.rve_dec_get.argtypes = [p, i8p]

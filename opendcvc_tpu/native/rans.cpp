@@ -601,7 +601,8 @@ void rve_enc_y(void* h, const int16_t* symbols, int n, int group) {
 }
 
 void rve_enc_z(void* h, const int8_t* symbols, int n, int group,
-               int start_offset, int per_channel, int interleaved) {
+               int start_offset, int per_channel, int interleaved,
+               int idx_base) {
   auto* e = static_cast<EncoderPair*>(h);
   auto make = [&](const int8_t* b, const int8_t* ed, int base) {
     Task t;
@@ -616,10 +617,10 @@ void rve_enc_z(void* h, const int8_t* symbols, int n, int group,
   };
   if (e->use_two) {
     const int n0 = n / 2;
-    e->e0.queue(make(symbols, symbols + n0, 0));
-    e->e1.queue(make(symbols + n0, symbols + n, n0));
+    e->e0.queue(make(symbols, symbols + n0, idx_base));
+    e->e1.queue(make(symbols + n0, symbols + n, idx_base + n0));
   } else {
-    e->e0.queue(make(symbols, symbols + n, 0));
+    e->e0.queue(make(symbols, symbols + n, idx_base));
   }
 }
 
@@ -723,7 +724,7 @@ void rve_dec_y(void* h, const uint8_t* indexes, int n, int group) {
 }
 
 void rve_dec_z(void* h, int total, int group, int start_offset,
-               int per_channel, int interleaved) {
+               int per_channel, int interleaved, int idx_base) {
   auto* d = static_cast<DecoderPair*>(h);
   auto make = [&](int count, int base) {
     Task t;
@@ -738,10 +739,10 @@ void rve_dec_z(void* h, int total, int group, int start_offset,
   };
   if (d->use_two) {
     const int n0 = total / 2;
-    d->d0.submit(make(n0, 0));
-    d->d1.submit(make(total - n0, n0));
+    d->d0.submit(make(n0, idx_base));
+    d->d1.submit(make(total - n0, idx_base + n0));
   } else {
-    d->d0.submit(make(total, 0));
+    d->d0.submit(make(total, idx_base));
   }
 }
 

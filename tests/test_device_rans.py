@@ -80,6 +80,109 @@ def test_device_decode_matches(tables):
     np.testing.assert_array_equal(decoded, sym)
 
 
+def test_undensify_device_inverts_densify():
+    """Device-side lane re-expansion must invert densify_segment."""
+    import jax
+    from opendcvc_tpu.entropy.device_rans import (densify_segment,
+                                                  _undensify_device)
+    rng = np.random.default_rng(7)
+    L, MW, cap = 16, 12, 96
+    lens = rng.integers(0, MW - 2, L).astype(np.int32)
+    while lens.sum() > cap:
+        lens = rng.integers(0, MW - 2, L).astype(np.int32)
+    buf = np.zeros((L, MW), np.int32)
+    for l in range(L):
+        buf[l, :lens[l]] = rng.integers(0, 1 << 16, lens[l])
+    states = rng.integers(1 << 16, 1 << 32, L, dtype=np.uint64) \
+        .astype(np.uint32)
+    packed = densify_segment(jnp.asarray(buf), jnp.asarray(lens),
+                             jnp.asarray(states), cap)
+    data, st = jax.jit(_undensify_device,
+                       static_argnums=(1, 2, 3))(packed, cap, L, MW)
+    np.testing.assert_array_equal(np.asarray(st), states)
+    data = np.asarray(data)
+    for l in range(L):
+        # dense words are stored in decode order; staging was emitted
+        # in encode order -> the rectangle holds the reversed prefix
+        np.testing.assert_array_equal(data[l, :lens[l]],
+                                      buf[l, :lens[l]][::-1])
+        assert np.all(data[l, lens[l]:] == 0)
+
+
+def test_parse_frame_rejects_unknown_magic():
+    from opendcvc_tpu.entropy.device_rans import parse_frame
+    with pytest.raises(ValueError, match="magic"):
+        parse_frame(b"\x01" + b"\x00" * 32)
+
+
+@pytest.mark.slow
+def test_dmc_gop_roundtrip_matches_single():
+    """GOP-batched megastages must produce the SAME per-frame bit
+    streams as the single-frame megastage path, and decode them to the
+    same frames both batched and frame-by-frame (the overflow re-run
+    path depends on single/GOP interchangeability)."""
+    from opendcvc_tpu.models.dmc import DMC
+    os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
+    try:
+        rng = np.random.default_rng(11)
+        x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        frames = []
+        prev = np.asarray(x0)
+        for _ in range(4):
+            prev = np.clip(prev + rng.normal(0, 0.02, prev.shape)
+                           .astype(np.float32), 0, 1)
+            frames.append(jnp.asarray(prev))
+        qps = [21, 29, 25, 29]
+
+        def fresh(seed_params):
+            net = DMC()
+            if seed_params is None:
+                net.init_params(seed=0)
+            else:
+                net.load_params(seed_params)
+            net.update()
+            net.clear_dpb()
+            net.set_curr_poc(0)
+            net.add_ref_frame(None, x0)
+            return net
+
+        enc = fresh(None)
+        s_single = [enc.compress(x, q)["bit_stream"]
+                    for x, q in zip(frames, qps)]
+
+        enc2 = fresh(enc.params)
+        s_first = enc2.compress(frames[0], qps[0])["bit_stream"]
+        s_gop = enc2.compress_gop(frames[1:], qps[1:])["bit_streams"]
+        assert s_first == s_single[0]
+        for a, b in zip(s_gop, s_single[1:]):
+            assert a == b
+        np.testing.assert_array_equal(
+            np.asarray(enc.dpb[0].feature, np.float32),
+            np.asarray(enc2.dpb[0].feature, np.float32))
+
+        sps = {"sps_id": 0, "height": 64, "width": 64, "ec_part": 0,
+               "use_ada_i": 0}
+        dec1 = fresh(enc.params)
+        outs_single = [np.asarray(dec1.decompress(s, sps, q)["x_hat"])
+                       for s, q in zip(s_single, qps)]
+        dec2 = fresh(enc.params)
+        dec2.decompress(s_single[0], sps, qps[0])
+        out_gop = dec2.decompress_gop(s_single[1:], sps, qps[1:])
+        x_hats = np.asarray(out_gop["x_hat"])
+        for i in range(3):
+            np.testing.assert_array_equal(x_hats[i],
+                                          outs_single[i + 1])
+        np.testing.assert_array_equal(
+            np.asarray(dec1.dpb[0].feature, np.float32),
+            np.asarray(dec2.dpb[0].feature, np.float32))
+        # the temporal-chain contract across enc/dec
+        np.testing.assert_array_equal(
+            np.asarray(enc.dpb[0].feature, np.float32),
+            np.asarray(dec1.dpb[0].feature, np.float32))
+    finally:
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
+
 @pytest.mark.slow
 def test_dmc_device_ec_roundtrip_matches_classic():
     """Device-EC compress+decompress must reproduce exactly the frames
@@ -156,6 +259,46 @@ def test_dmci_device_ec_roundtrip_matches_classic():
     c1, c2 = run(False)
     np.testing.assert_array_equal(d1, c1)
     np.testing.assert_array_equal(d2, c2)
+
+
+@pytest.mark.slow
+def test_dmci_fm_device_ec_roundtrip_matches_classic():
+    """FM intra device-EC (fused megastage pair, five planes in one
+    lane segment) must reproduce exactly the frames the classic
+    host-rANS path produces."""
+    from opendcvc_tpu.models.dmci_fm import DMCIFM
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32))
+
+    def run(device_ec):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
+        os.environ["OPENDCVC_TPU_EC_LANES"] = "256"
+        try:
+            net = DMCIFM()
+            net.init_params(seed=0)
+            net.update()
+            s1 = net.compress(x, 12)["bit_stream"]
+            s2 = net.compress(x, 40)["bit_stream"]
+
+            dec = DMCIFM()
+            dec.load_params(net.params)
+            dec.update()
+            r1 = dec.decompress(s1, {"height": 64, "width": 96,
+                                     "qp": 12})["x_hat"]
+            r2 = dec.decompress(s2, {"height": 64, "width": 96,
+                                     "qp": 40})["x_hat"]
+            return np.asarray(r1, np.float32), np.asarray(r2, np.float32)
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+            del os.environ["OPENDCVC_TPU_EC_LANES"]
+
+    d1, d2 = run(True)
+    c1, c2 = run(False)
+    # device megastages fuse differently from the split host stages;
+    # exact on CPU (declared-precision backend), float-rounding-level
+    # anywhere else
+    np.testing.assert_allclose(d1, c1, atol=2e-6)
+    np.testing.assert_allclose(d2, c2, atol=2e-6)
 
 
 @pytest.mark.slow

@@ -70,6 +70,94 @@ def test_harness_end_to_end(tiny_dataset, tmp_path):
     assert any(b.endswith(".bin") for b in bins)
 
 
+@pytest.mark.slow
+def test_harness_yuv420_end_to_end(tmp_path):
+    """The reference's primary eval condition is raw YUV420 input with
+    PSNR_avg = (6*Y+U+V)/8 (reference test_video.py:74-91, 110-118;
+    test_conditions.md).  Drive a synthetic .yuv sequence through the
+    full CLI: read -> 420->444 -> codec -> 444->420 -> recon write ->
+    weighted PSNR."""
+    seq_dir = tmp_path / "data"
+    seq_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    h, w, n = 48, 64, 3
+    with open(seq_dir / "seqY.yuv", "wb") as f:
+        base_y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base_uv = rng.integers(0, 256, (h // 2, w)).astype(np.uint8)
+        for i in range(n):
+            f.write(np.roll(base_y, 2 * i, axis=1).tobytes())
+            f.write(np.roll(base_uv, i, axis=1).tobytes())
+    config = {
+        "root_path": str(tmp_path),
+        "test_classes": {
+            "tinyyuv": {
+                "test": 1,
+                "base_path": "data",
+                "src_type": "yuv420",
+                "sequences": {
+                    "seqY": {"width": w, "height": h, "frames": n,
+                             "intra_period": -1},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    with open(cfg_path, "w") as f:
+        json.dump(config, f)
+
+    out_json = str(tmp_path / "out.json")
+    stream_path = str(tmp_path / "bins")
+    from opendcvc_tpu.eval.harness import main
+    main([
+        "--test_config", str(cfg_path),
+        "--output_path", out_json,
+        "--rate_num", "1",
+        "--qp_i", "20",
+        "--qp_p", "20",
+        "--stream_path", stream_path,
+        "--save_decoded_frame", "1",
+        "--seed", "0",
+    ])
+
+    with open(out_json) as f:
+        results = json.load(f)
+    r = results["tinyyuv"]["seqY"]["000"]
+    assert r["i_frame_num"] == 1 and r["p_frame_num"] == n - 1
+    assert r["ave_all_frame_bpp"] > 0
+    assert np.isfinite(r["ave_all_frame_psnr"])
+    # a reconstruction .yuv of the right raw size was written
+    rec_dir = os.path.join(stream_path, "tinyyuv")
+    recs = [f for f in os.listdir(rec_dir) if f.endswith(".yuv")]
+    assert recs, os.listdir(rec_dir)
+    sz = os.path.getsize(os.path.join(rec_dir, recs[0]))
+    assert sz == n * (h * w + h * w // 2)
+    # the weighted PSNR actually reflects (6Y+U+V)/8: recompute from
+    # the written reconstruction
+    with open(seq_dir / "seqY.yuv", "rb") as f:
+        src = np.frombuffer(f.read(), np.uint8).astype(np.float64)
+    with open(os.path.join(rec_dir, recs[0]), "rb") as f:
+        rec = np.frombuffer(f.read(), np.uint8).astype(np.float64)
+    fsz = h * w + h * w // 2
+    psnrs = []
+    for i in range(n):
+        s = src[i * fsz:(i + 1) * fsz] / 255.0
+        d = rec[i * fsz:(i + 1) * fsz] / 255.0
+        sy, suv = s[:h * w], s[h * w:]
+        dy, duv = d[:h * w], d[h * w:]
+        su, sv = suv[:h * w // 4], suv[h * w // 4:]
+        du, dv = duv[:h * w // 4], duv[h * w // 4:]
+
+        def psnr(a, b):
+            mse = np.mean((a - b) ** 2)
+            return 99.9 if mse < 1e-10 else min(
+                99.9, -10 * np.log10(mse))
+        psnrs.append((6 * psnr(sy, dy) + psnr(su, du)
+                      + psnr(sv, dv)) / 8)
+    # written-recon PSNR is quantized to uint8, so allow a wide-ish
+    # tolerance against the float-domain number in the log
+    assert abs(np.mean(psnrs) - r["ave_all_frame_psnr"]) < 0.5
+
+
 def test_harness_worker_fanout_identical(tiny_dataset, tmp_path):
     """--worker N must produce identical results to serial (reference
     fans jobs over a process pool, test_video.py:439-442)."""

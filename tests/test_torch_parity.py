@@ -741,9 +741,8 @@ def test_dmc_dc_parity_with_reference_torch():
 
     x_j = jnp.asarray(x_np)
     ref_j = jnp.asarray(ref_np)
-    mv_y_j, mv_z_hat_j, _ = M._stage_mv_enc_i(p, x_j, ref_j, mv_q_enc) \
-        if hasattr(M, "_stage_mv_enc_i") else M._stage_mv_enc(
-            p, x_j, ref_j, None, mv_q_enc)
+    mv_y_j, mv_z_hat_j, _ = M._stage_mv_enc(p, x_j, ref_j, None,
+                                            mv_q_enc)
     d = np.abs(np.asarray(mv_y_j) - _t2j(mv_y_t))
     assert np.max(d) < 5e-3, float(np.max(d))
     zh_j, zh_t = np.asarray(mv_z_hat_j), _t2j(mv_z_hat_t)
