@@ -18,6 +18,40 @@ import json
 import numpy as np
 
 
+def synthetic_images(n, size, seed=0):
+    """Deterministic mixed-content eval set: multi-scale block
+    textures + smooth gradients + hard edges + mild noise — content a
+    codec can actually model, with enough structure that rate responds
+    to quantization (pure noise is incompressible; single-scale
+    textures saturate)."""
+    rng = np.random.default_rng(seed)
+    imgs = []
+    for _ in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        for block in (16, 8, 4):
+            lo = rng.random((size // block, size // block, 3))
+            img += np.kron(lo, np.ones((block, block, 1))) \
+                / (16 / block) ** 0.5
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        img += (rng.random(3) * np.stack([yy, xx, yy * xx], -1)).sum(
+            -1, keepdims=True) * 0.5
+        # a few hard-edged rectangles
+        for _ in range(4):
+            y0, x0 = rng.integers(0, size - 8, 2)
+            h_, w_ = rng.integers(4, size // 3, 2)
+            img[y0:y0 + h_, x0:x0 + w_] += rng.random(3) - 0.5
+        img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+        img = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+        imgs.append(img[None].astype(np.float32))
+    return imgs
+
+
+#: reduced-channel DMCI used for the committable RD evidence (a
+#: full-size trained checkpoint is ~183 MB; this one is a few MB and
+#: regenerable deterministically in CI)
+TINY_KW = {"N": 96, "z_channel": 64, "enc_dec_ch": 64}
+
+
 def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
             seed=0):
     import jax
@@ -27,18 +61,13 @@ def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
     from ..utils import checkpoint as ckpt
     from ..utils.metrics import calc_psnr
 
-    net = DMCI()
-    net.load_params(ckpt.load_params(ckpt_path))
+    payload = ckpt.load_checkpoint(ckpt_path)
+    model_kw = (payload.get("extra") or {}).get("model_kwargs", {})
+    net = DMCI(**model_kw)
+    net.load_params(payload["params"])
     net.update()
 
-    rng = np.random.default_rng(seed)
-    # smooth-ish synthetic content (pure noise is incompressible)
-    imgs = []
-    for _ in range(n_images):
-        base = rng.random((size // 8, size // 8, 3)).astype(np.float32)
-        img = np.kron(base, np.ones((8, 8, 1), np.float32))
-        img = np.clip(img + rng.normal(0, 0.04, img.shape), 0, 1)
-        imgs.append(img[None].astype(np.float32))
+    imgs = synthetic_images(n_images, size, seed)
 
     points = []
     for qp in qps:
@@ -64,6 +93,52 @@ def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
     return points
 
 
+def train_tiny(out_ckpt, steps=3000, seed=0, crop=96, batch=8,
+               lmbda_min=32.0, lmbda_max=4096.0, lr=1e-4,
+               log_every=200):
+    """Deterministically (re)train the committable reduced-channel DMCI
+    RD-evidence checkpoint (TINY_KW) on mixed synthetic content with
+    the per-QP lambda ladder.  ~minutes on CPU; the resulting msgpack
+    is a few MB and is what tests/test_rate_consistency.py loads."""
+    import jax
+    import jax.numpy as jnp
+    from ..models.dmci import dmci_init
+    from ..training.train import (make_dmci_loss, make_optimizer,
+                                  make_train_step)
+    from ..utils import checkpoint as ckpt
+
+    params = jax.jit(lambda k: dmci_init(k, TINY_KW["N"],
+                                         TINY_KW["z_channel"],
+                                         enc_dec_ch=TINY_KW["enc_dec_ch"])
+                     )(jax.random.PRNGKey(seed))
+    loss_fn = make_dmci_loss(lmbda_min, quant_mode="ste",
+                             lmbda_max=lmbda_max)
+    tx = make_optimizer(base_lr=lr, schedule="cosine",
+                        total_steps=steps, warmup_steps=min(200, steps))
+    step_fn = make_train_step(loss_fn, tx, donate=False)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(seed + 1)
+    key = jax.random.PRNGKey(seed + 2)
+    for i in range(steps):
+        batch_imgs = np.concatenate(
+            synthetic_images(batch, crop, seed=seed + 10 + i), axis=0)
+        qp = jnp.int32(int(rng.integers(0, 64)))
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, jnp.asarray(batch_imgs), qp, sub)
+        if (i + 1) % log_every == 0:
+            print(f"step {i + 1}: loss={float(metrics['loss']):.4f} "
+                  f"bpp={float(metrics['bpp']):.4f} "
+                  f"mse={float(metrics['mse']):.5f} qp={int(qp)}",
+                  flush=True)
+    ckpt.save_params(out_ckpt, params,
+                     extra={"model_kwargs": TINY_KW, "steps": steps,
+                            "seed": seed,
+                            "lmbda": [lmbda_min, lmbda_max]})
+    return out_ckpt
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
@@ -71,7 +146,14 @@ def main(argv=None):
     ap.add_argument("--qps", type=int, nargs="+",
                     default=[16, 26, 36, 46])
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--train_tiny", action="store_true",
+                    help="first (re)train the committable tiny "
+                         "checkpoint at --ckpt, then measure")
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.train_tiny:
+        train_tiny(args.ckpt, steps=args.steps, seed=args.seed)
     points = measure(args.ckpt, qps=tuple(args.qps), size=args.size)
     payload = {"model": "dmci", "ckpt": args.ckpt, "points": points}
     with open(args.out, "w") as f:

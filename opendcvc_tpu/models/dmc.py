@@ -103,8 +103,17 @@ def dmc_init(key, qp_num=C.QP_NUM):
     p["recon_head"] = L.conv_init(next(ks), G_CH_RECON, G_CH_SRC_D, 1)
 
     n_qp = qp_num + EXTRA_QP
-    p["q_encoder"] = jnp.ones((n_qp, G_CH_D))
-    p["q_decoder"] = jnp.ones((n_qp, G_CH_D))
+    # Initialize the rate-control banks as a log-spaced ladder
+    # (qp 0 = highest rate), the shape the family codecs DERIVE their
+    # 64-step ladders from (DCVC-DC log-interpolated anchors,
+    # common_model.py:311-341; DCVC-FM get_curr_q, common_model.py:
+    # 37-52); training refines per-row from here.  All-ones init gives
+    # every QP identical rate and the per-row gradients are too sparse
+    # to separate them in any reasonable schedule.
+    ladder = jnp.exp(jnp.linspace(jnp.log(4.0), jnp.log(0.4),
+                                  n_qp))[:, None]
+    p["q_encoder"] = jnp.ones((n_qp, G_CH_D)) * ladder
+    p["q_decoder"] = jnp.ones((n_qp, G_CH_D)) / ladder
     p["q_feature"] = jnp.ones((n_qp, G_CH_D))
     p["q_recon"] = jnp.ones((n_qp, G_CH_RECON))
     p["bit_estimator_z"] = bit_estimator_init(next(ks), n_qp, G_CH_Z)

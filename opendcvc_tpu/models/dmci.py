@@ -38,14 +38,15 @@ G_CH_ENC_DEC = 368
 # parameter init
 # ---------------------------------------------------------------------------
 
-def dmci_init(key, N=256, z_channel=128, qp_num=C.QP_NUM):
+def dmci_init(key, N=256, z_channel=128, qp_num=C.QP_NUM,
+              enc_dec_ch=G_CH_ENC_DEC):
     ks = list(jax.random.split(key, 48))
     k = iter(ks)
     p = {}
-    p["enc1"] = L.depth_conv_block_init(next(k), G_CH_SRC, G_CH_ENC_DEC)
-    p["enc2"] = [L.depth_conv_block_init(next(k), G_CH_ENC_DEC, G_CH_ENC_DEC)
+    p["enc1"] = L.depth_conv_block_init(next(k), G_CH_SRC, enc_dec_ch)
+    p["enc2"] = [L.depth_conv_block_init(next(k), enc_dec_ch, enc_dec_ch)
                  for _ in range(6)]
-    p["enc_down"] = L.conv_init(next(k), G_CH_ENC_DEC, N, 3)
+    p["enc_down"] = L.conv_init(next(k), enc_dec_ch, N, 3)
 
     p["hyper_enc"] = [
         L.depth_conv_block_init(next(k), N, z_channel),
@@ -76,13 +77,18 @@ def dmci_init(key, N=256, z_channel=128, qp_num=C.QP_NUM):
         L.depth_conv_block_init(next(k), N * 2, N * 2),
         L.conv_init(next(k), N * 2, N * 2, 1),
     ]
-    p["dec1_up"] = L.res_block_upsample_init(next(k), N, G_CH_ENC_DEC)
-    p["dec1"] = [L.depth_conv_block_init(next(k), G_CH_ENC_DEC, G_CH_ENC_DEC)
+    p["dec1_up"] = L.res_block_upsample_init(next(k), N, enc_dec_ch)
+    p["dec1"] = [L.depth_conv_block_init(next(k), enc_dec_ch, enc_dec_ch)
                  for _ in range(12)]
-    p["dec2"] = L.depth_conv_block_init(next(k), G_CH_ENC_DEC, G_CH_SRC)
+    p["dec2"] = L.depth_conv_block_init(next(k), enc_dec_ch, G_CH_SRC)
 
-    p["q_scale_enc"] = jnp.ones((qp_num, G_CH_ENC_DEC))
-    p["q_scale_dec"] = jnp.ones((qp_num, G_CH_ENC_DEC))
+    # log-spaced rate ladder init, qp 0 = highest rate (see
+    # models/dmc.py dmc_init: the DC/FM generations derive their
+    # ladders the same way; training refines per-row)
+    ladder = jnp.exp(jnp.linspace(jnp.log(4.0), jnp.log(0.4),
+                                  qp_num))[:, None]
+    p["q_scale_enc"] = jnp.ones((qp_num, enc_dec_ch)) * ladder
+    p["q_scale_dec"] = jnp.ones((qp_num, enc_dec_ch)) / ladder
     p["bit_estimator_z"] = bit_estimator_init(next(k), qp_num, z_channel)
     return p
 
@@ -330,9 +336,11 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
 # ---------------------------------------------------------------------------
 
 class DMCI:
-    def __init__(self, N=256, z_channel=128, dtype=jnp.float32):
+    def __init__(self, N=256, z_channel=128, dtype=jnp.float32,
+                 enc_dec_ch=G_CH_ENC_DEC):
         self.N = N
         self.z_channel = z_channel
+        self.enc_dec_ch = enc_dec_ch
         self.dtype = dtype
         self.params = None
         self.entropy_coder = None
@@ -393,7 +401,8 @@ class DMCI:
     def init_params(self, seed=0):
         # one compiled program (see models/dmc.py init_params)
         def build(key):
-            p = dmci_init(key, self.N, self.z_channel)
+            p = dmci_init(key, self.N, self.z_channel,
+                          enc_dec_ch=self.enc_dec_ch)
             if self.dtype != jnp.float32:
                 p = jax.tree_util.tree_map(
                     lambda a: a.astype(self.dtype)

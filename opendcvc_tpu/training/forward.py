@@ -1,12 +1,14 @@
-"""Differentiable training forwards for the RT codecs.
+"""Differentiable training forwards for the codecs.
 
-The reference only ships training code for the oldest codec (DCVC,
+The reference ships runnable training only for the oldest codec (DCVC,
 reference: DCVC-family/DCVC/train_*.py); the RT models are released as
-checkpoints.  This module provides the RD-training forward passes for the
-TPU DMCI/DMC models: straight-through-estimator rounding at the
-quantization points and differentiable bit estimates (factorized prior
-for z, conditional Gaussian for y), so the whole framework is trainable
-end-to-end on TPU.
+checkpoints.  This module provides RD-training forward passes for the
+TPU models: the RT pair (DMCI/DMC) with straight-through-estimator
+rounding, and the reference's own training target DCVC with its exact
+staged loss (ME warmup -> recon -> +bits -> end-to-end,
+DCVC_net.py:638-666).  Bit estimates are differentiable (factorized
+prior for z, conditional Gaussian/Laplace for y), so the framework is
+trainable end-to-end on TPU.
 """
 
 import jax
@@ -162,3 +164,182 @@ def dmc_forward_one_frame(params, x, ref_frame, ref_feature, qp, rng,
     bpp_z = jnp.sum(bits_z) / n_pix
     return {"x_hat": x_hat, "feature": feature_out, "mse": mse,
             "bpp_y": bpp_y, "bpp_z": bpp_z, "bpp": bpp_y + bpp_z}
+
+
+# ---------------------------------------------------------------------------
+# DCVC training forward — the reference's own training target
+# (staged loss DCVC_net.py:638-666; training quantization is additive
+# uniform noise, :597-613)
+# ---------------------------------------------------------------------------
+
+def laplace_bits(x_res, scales):
+    """Differentiable Laplace rate: -log2 P([x-0.5, x+0.5]) under
+    Laplace(0, b) (reference feature_probs_based_sigma,
+    DCVC_net.py:218-260 — DCVC rates y/mv_y with a Laplace)."""
+    b = jnp.clip(scales, 1e-9, None)
+    def cdf(v):
+        return 0.5 + 0.5 * jnp.sign(v) * (-jnp.expm1(-jnp.abs(v) / b))
+    probs = jnp.clip(cdf(x_res + 0.5) - cdf(x_res - 0.5), 1e-9, None)
+    return -jnp.log2(probs)
+
+
+def _laplace_scales(logscale):
+    """Reference scale transform: exp(softplus(ls + 2.3) - 2.3), keeping
+    log-scale > -2.3 (DCVC_net.py:584-585)."""
+    return jnp.exp(jax.nn.softplus(logscale + 2.3) - 2.3)
+
+
+def dcvc_forward(params, x, ref_frame, rng, stage=4, quant_mode="noise"):
+    """One P-frame DCVC RD forward with the reference's staged outputs.
+
+    Mirrors DCVC_net.forward (reference DCVC_net.py:558-666): SpyNet
+    flow -> mv codec (factorized-prior z_mv + AR/hyper Laplace on mv_y)
+    -> feature-domain motion compensation -> contextual codec (temporal
+    prior + hyper + AR context, Laplace on y).  Returns every term the
+    staged losses need; compose with stage_loss_dcvc.
+    """
+    from ..models.dcvc import (mv_encoder, mv_decoder_part1, mv_refine,
+                               motion_compensation, contextual_encoder,
+                               contextual_decoder, prior_enc, prior_dec,
+                               temporal_prior_enc, entropy_params_apply,
+                               masked_conv_apply, spynet_apply)
+    from ..ops.warp import flow_warp
+    p = params
+    n_pix = x.shape[0] * x.shape[1] * x.shape[2]
+    rngs = jax.random.split(rng, 4)
+
+    est_mv = spynet_apply(p["optic_flow"], x, ref_frame)
+    mv_y = mv_encoder(p, est_mv)
+    mv_z = prior_enc(p["mv_prior_enc"], mv_y)
+    mv_z_hat = _quant(mv_z, rngs[0], quant_mode)
+    params_mv = prior_dec(p["mv_prior_dec"], mv_z_hat)
+    mv_y_hat = _quant(mv_y, rngs[1], quant_mode)
+    ctx_params_mv = masked_conv_apply(p["auto_regressive_mv"], mv_y_hat)
+    g_mv = entropy_params_apply(
+        p["entropy_parameters_mv"],
+        jnp.concatenate((params_mv, ctx_params_mv), axis=-1))
+    c_mv = g_mv.shape[-1] // 2
+    means_mv = g_mv[..., :c_mv]
+    scales_mv = _laplace_scales(g_mv[..., c_mv:])
+
+    mv_up = mv_decoder_part1(p, mv_y_hat)
+    mv_ref = mv_refine(p, ref_frame, mv_up)
+    ctx = motion_compensation(p, ref_frame, mv_ref)
+    # stage-1 target: pixel-domain warp of the reference
+    # (pixel_motioncompensation, DCVC_net.py:193-195, 590)
+    pixel_rec = flow_warp(ref_frame, mv_ref)
+
+    temporal = temporal_prior_enc(p, ctx)
+    y = contextual_encoder(p, x, ctx)
+    z = prior_enc(p["prior_enc"], y)
+    z_hat = _quant(z, rngs[2], quant_mode)
+    hp = prior_dec(p["prior_dec"], z_hat)
+    y_hat = _quant(y, rngs[3], quant_mode)
+    ctx_params = masked_conv_apply(p["auto_regressive"], y_hat)
+    g = entropy_params_apply(
+        p["entropy_parameters"],
+        jnp.concatenate((temporal, hp, ctx_params), axis=-1))
+    c_y = g.shape[-1] // 2
+    means = g[..., :c_y]
+    scales = _laplace_scales(g[..., c_y:])
+
+    x_hat = contextual_decoder(p, y_hat, ctx)
+
+    bpp_y = jnp.sum(laplace_bits(y_hat - means, scales)) / n_pix
+    bpp_mv_y = jnp.sum(laplace_bits(mv_y_hat - means_mv,
+                                    scales_mv)) / n_pix
+    bpp_z = jnp.sum(bit_estimator_bits(p["bit_estimator_z"], z_hat,
+                                       0)) / n_pix
+    bpp_mv_z = jnp.sum(bit_estimator_bits(p["bit_estimator_z_mv"],
+                                          mv_z_hat, 0)) / n_pix
+
+    return {"x_hat": x_hat, "pixel_rec": pixel_rec,
+            "mse": jnp.mean(jnp.square(x_hat - x)),
+            "warp_mse": jnp.mean(jnp.square(pixel_rec - x)),
+            "bpp_y": bpp_y, "bpp_z": bpp_z, "bpp_mv_y": bpp_mv_y,
+            "bpp_mv_z": bpp_mv_z,
+            "bpp": bpp_y + bpp_z + bpp_mv_y + bpp_mv_z}
+
+
+# ---------------------------------------------------------------------------
+# DCVC-TCM training forward (reference video_net_dmc.py:430-509:
+# noise-free rounding, Laplace rate on y/mv_y, factorized z/mv_z)
+# ---------------------------------------------------------------------------
+
+def dmc_tcm_forward_one_frame(params, x, ref_frame, ref_feature, rng,
+                              quant_mode="ste"):
+    """One P-frame TCM RD forward.  The reference trains TCM-style
+    models with hard rounding in the forward (quant = round,
+    video_net_dmc.py:427-428); here the rounding is an STE so gradients
+    flow (quant_mode='noise' gives the additive-noise surrogate
+    instead).  Returns dict(x_hat, feature, mse, warp_mse, bpp terms).
+    """
+    from ..models import dmc_tcm as T
+    p = params
+    n_pix = x.shape[0] * x.shape[1] * x.shape[2]
+    rngs = jax.random.split(rng, 4)
+
+    from ..layers.blocks_hem import hem_spynet_apply
+    est_mv = hem_spynet_apply(p["optic_flow"], x, ref_frame)
+    mv_y = T.mv_encoder(p, est_mv)
+    mv_z = T.mv_prior_enc(p, mv_y)
+    mv_z_hat = _quant(mv_z, rngs[0], quant_mode)
+    mv_scales, mv_means = T._stage_mv_params(p, mv_z_hat)
+    mv_y_q = _quant(mv_y - mv_means, rngs[1], quant_mode)
+    mv_y_hat = mv_y_q + mv_means
+
+    mv_hat = T.mv_decoder(p, mv_y_hat)
+    c1, c2, c3, warp_frame = T._stage_motion_comp(p, mv_hat, ref_frame,
+                                                  ref_feature)
+
+    y = T.contextual_encoder(p, x, c1, c2, c3)
+    z = T.hyper_enc(p, y)
+    z_hat = _quant(z, rngs[2], quant_mode)
+    scales, means = T._stage_y_params(p, z_hat, c1, c2, c3)
+    y_q = _quant(y - means, rngs[3], quant_mode)
+    y_hat = y_q + means
+
+    feature, x_hat = T._stage_recon(p, y_hat, c1, c2, c3)
+
+    # Laplace rate with the reference's sigma clamp (:301-307)
+    bpp_y = jnp.sum(laplace_bits(y_q, jnp.clip(scales, 1e-5, None))) \
+        / n_pix
+    bpp_mv_y = jnp.sum(laplace_bits(
+        mv_y_q, jnp.clip(mv_scales, 1e-5, None))) / n_pix
+    bpp_z = jnp.sum(bit_estimator_bits(p["bit_estimator_z"], z_hat,
+                                       0)) / n_pix
+    bpp_mv_z = jnp.sum(bit_estimator_bits(p["bit_estimator_z_mv"],
+                                          mv_z_hat, 0)) / n_pix
+
+    return {"x_hat": x_hat, "feature": feature,
+            "mse": jnp.mean(jnp.square(x_hat - x)),
+            "warp_mse": jnp.mean(jnp.square(warp_frame - x)),
+            "bpp_y": bpp_y, "bpp_z": bpp_z, "bpp_mv_y": bpp_mv_y,
+            "bpp_mv_z": bpp_mv_z,
+            "bpp": bpp_y + bpp_z + bpp_mv_y + bpp_mv_z}
+
+
+#: parameter subtrees of the motion branch, frozen in stages 2-3
+#: (reference train_dcvc_sq_2to7_data_ddp.py:174-192)
+DCVC_MOTION_SUBTREES = (
+    "optic_flow", "mv_enc", "mv_dec1", "mv_dec2", "mv_prior_enc",
+    "mv_prior_dec", "entropy_parameters_mv", "auto_regressive_mv",
+    "bit_estimator_z_mv",
+)
+
+
+def stage_loss_dcvc(out, lmbda, stage):
+    """The reference's four-stage loss (DCVC_net.py:638-666):
+      1: L_me  = lmbda*mse(warp, x) + bpp_mv_y + bpp_mv_z
+      2: L_rec = lmbda*mse(x_hat, x)            (motion frozen)
+      3: L_con = lmbda*mse(x_hat, x) + bpp_y + bpp_z   (motion frozen)
+      4: L_all = lmbda*mse(x_hat, x) + bpp
+    """
+    if stage == 1:
+        return lmbda * out["warp_mse"] + out["bpp_mv_y"] \
+            + out["bpp_mv_z"]
+    if stage == 2:
+        return lmbda * out["mse"]
+    if stage == 3:
+        return lmbda * out["mse"] + out["bpp_y"] + out["bpp_z"]
+    return lmbda * out["mse"] + out["bpp"]

@@ -14,7 +14,9 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .forward import dmci_forward, dmc_forward_one_frame
+from .forward import (dmci_forward, dmc_forward_one_frame, dcvc_forward,
+                      dmc_tcm_forward_one_frame, stage_loss_dcvc,
+                      DCVC_MOTION_SUBTREES)
 
 
 # ---------------------------------------------------------------------------
@@ -33,7 +35,7 @@ def lmbda_for_qp(qp, lmbda_min, lmbda_max, qp_num=64):
     lambda — without this the per-QP banks receive identical gradients
     and never differentiate."""
     import jax.numpy as jnp
-    t = qp.astype(jnp.float32) / (qp_num - 1)
+    t = 1.0 - qp.astype(jnp.float32) / (qp_num - 1)
     return jnp.exp(jnp.log(lmbda_min)
                    + t * (jnp.log(lmbda_max) - jnp.log(lmbda_min)))
 
@@ -78,6 +80,75 @@ def make_dmc_loss(lmbda, quant_mode="ste", lmbda_max=None):
     return loss_fn
 
 
+def make_dcvc_loss(lmbda, stage=4, quant_mode="noise"):
+    """DCVC staged loss over cascaded frames (the reference's training
+    target; staged loss DCVC_net.py:638-666, cascaded detached refs in
+    finetune :199-277).  frames: (B, T, H, W, C); frame 0 is the
+    (frozen-I) reference.  In stages 1-3 each P-frame trains against
+    the PREVIOUS RECON detached (per-position steps in the reference);
+    stage 4 lets gradients flow through the chain."""
+    def loss_fn(params, frames, qp, rng):
+        del qp  # DCVC is a per-lambda model (no QP banks)
+        ref = frames[:, 0]
+        n_frames = frames.shape[1] - 1
+        rngs = jax.random.split(rng, n_frames)
+        total = 0.0
+        metrics = {"mse": 0.0, "bpp": 0.0, "warp_mse": 0.0,
+                   "bpp_mv": 0.0}
+        for t in range(n_frames):
+            out = dcvc_forward(params, frames[:, t + 1], ref, rngs[t],
+                               stage=stage, quant_mode=quant_mode)
+            total = total + stage_loss_dcvc(out, lmbda, stage)
+            metrics["mse"] += out["mse"] / n_frames
+            metrics["warp_mse"] += out["warp_mse"] / n_frames
+            metrics["bpp"] += out["bpp"] / n_frames
+            metrics["bpp_mv"] += (out["bpp_mv_y"]
+                                  + out["bpp_mv_z"]) / n_frames
+            ref = out["x_hat"] if stage == 4 \
+                else jax.lax.stop_gradient(out["x_hat"])
+        loss = total / n_frames
+        metrics["loss"] = loss
+        return loss, metrics
+    return loss_fn
+
+
+def make_tcm_loss(lmbda, quant_mode="ste"):
+    """Cascaded TCM loss: the propagated FEATURE (not pixels) carries
+    temporal context between frames (reference video_net_dmc.py:149-162,
+    430-509)."""
+    def loss_fn(params, frames, qp, rng):
+        del qp
+        ref = frames[:, 0]
+        feature = None
+        n_frames = frames.shape[1] - 1
+        rngs = jax.random.split(rng, n_frames)
+        total = 0.0
+        metrics = {"mse": 0.0, "bpp": 0.0, "warp_mse": 0.0}
+        for t in range(n_frames):
+            out = dmc_tcm_forward_one_frame(
+                params, frames[:, t + 1], ref, feature, rngs[t],
+                quant_mode)
+            total = total + rd_loss(out, lmbda)
+            metrics["mse"] += out["mse"] / n_frames
+            metrics["warp_mse"] += out["warp_mse"] / n_frames
+            metrics["bpp"] += out["bpp"] / n_frames
+            ref = out["x_hat"]
+            feature = out["feature"]
+        loss = total / n_frames
+        metrics["loss"] = loss
+        return loss, metrics
+    return loss_fn
+
+
+def dcvc_stage_grad_transform(stage):
+    """Stage-dependent motion-branch freeze (reference :174-192): in
+    stages 2-3 the flow/mv modules receive zero gradient."""
+    if stage in (2, 3):
+        return lambda grads: freeze_subtree(grads,
+                                            DCVC_MOTION_SUBTREES)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # optimizer / schedulers (reference :709-745)
 # ---------------------------------------------------------------------------
@@ -119,7 +190,7 @@ def make_optimizer(base_lr=1e-4, schedule="constant", total_steps=1_000_000,
 # ---------------------------------------------------------------------------
 
 def make_train_step(loss_fn, tx, mesh=None, donate=True,
-                    compute_dtype=None):
+                    compute_dtype=None, grad_transform=None):
     """Returns jitted step(params, opt_state, batch, qp, rng).
 
     With a mesh, the batch is sharded over the 'data' axis and params are
@@ -131,6 +202,10 @@ def make_train_step(loss_fn, tx, mesh=None, donate=True,
     and optimizer state stay float32, the forward/backward runs in bf16
     (the cast sits inside the grad so master weights get full-precision
     updates).
+
+    grad_transform (optional) edits the gradient pytree before the
+    optimizer — the stage-dependent parameter-freeze hook
+    (reference :174-192).
     """
     def step(params, opt_state, batch, qp, rng):
         if compute_dtype is not None:
@@ -144,6 +219,8 @@ def make_train_step(loss_fn, tx, mesh=None, donate=True,
             grad_target = loss_fn
         (loss, metrics), grads = jax.value_and_grad(
             grad_target, has_aux=True)(params, batch, qp, rng)
+        if grad_transform is not None:
+            grads = grad_transform(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

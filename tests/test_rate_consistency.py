@@ -11,6 +11,7 @@ whole probability-model -> CDF -> coder chain end to end.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from opendcvc_tpu.models.dmci import DMCI
 from opendcvc_tpu.training.forward import dmci_forward
@@ -42,25 +43,31 @@ def test_dmci_estimate_matches_stream():
     assert 0.85 < ratio < 1.25, (est_bits, real_bits, ratio)
 
 
+@pytest.mark.slow
 def test_dmci_estimate_matches_stream_trained():
     """Trained weights keep residuals inside the CDF support, where the
     reference requires sub-percent estimate/stream agreement (DCVC-TCM
-    README.md:48).  Gated on a checkpoint path because trained weights
-    (183 MB fp32) are too large to commit — produce one with
-    `python train_video.py --model dmci` and point
-    OPENDCVC_TPU_DMCI_CKPT at the saved msgpack; docs/rd_evidence_r2.json
-    records a measured run."""
+    README.md:48).  Runs against the committed reduced-channel
+    checkpoint `docs/dmci_tiny_rd.msgpack` (regenerable
+    deterministically with
+    `python -m opendcvc_tpu.eval.rd_evidence --train_tiny ...`);
+    OPENDCVC_TPU_DMCI_CKPT overrides with a full-size checkpoint."""
     import os
-    path = os.environ.get("OPENDCVC_TPU_DMCI_CKPT")
-    if not path or not os.path.exists(path):
+    path = os.environ.get(
+        "OPENDCVC_TPU_DMCI_CKPT",
+        os.path.join(os.path.dirname(__file__), "..", "docs",
+                     "dmci_tiny_rd.msgpack"))
+    if not os.path.exists(path):
         import pytest as _pytest
-        _pytest.skip("OPENDCVC_TPU_DMCI_CKPT not set")
+        _pytest.skip("no trained checkpoint available")
 
     from opendcvc_tpu.eval.rd_evidence import measure
     points = measure(path, qps=(20, 40), size=128, n_images=2)
-    # measured 0.961-0.964 for the 10k-step synthetic checkpoint after
-    # fixing the estimate to price the quantized residual
-    # (docs/rd_evidence_r2.json); the residual few-% comes from table
+    # measured 0.988-1.012 for the committed 10k-step tiny checkpoint
+    # (docs/rd_evidence_r3.json); the residual ~1% is table
     # quantization + container overhead at small sizes
     for p in points:
-        assert 0.93 < p["stream_vs_estimate"] < 1.05, p
+        assert 0.95 < p["stream_vs_estimate"] < 1.05, p
+        # rate control must actually modulate: higher QP -> fewer bits
+    bpps = [p["bpp_stream"] for p in points]
+    assert bpps[0] > bpps[-1] * 1.2, bpps

@@ -77,6 +77,66 @@ def test_train_step_descends(dmci_params):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("stage", [1, 2, 3, 4])
+def test_dcvc_staged_training_descends(stage):
+    """DCVC is the codec the reference actually trains; every stage of
+    the staged loss (reference DCVC_net.py:638-666) must run and
+    descend, with the motion branch frozen in stages 2-3
+    (train_dcvc_sq_2to7_data_ddp.py:174-192)."""
+    from opendcvc_tpu.models.dcvc import dcvc_init
+    from opendcvc_tpu.training.train import (make_dcvc_loss,
+                                             dcvc_stage_grad_transform)
+    from opendcvc_tpu.training.forward import DCVC_MOTION_SUBTREES
+    params = dcvc_init(jax.random.PRNGKey(4))
+    loss_fn = make_dcvc_loss(lmbda=256.0, stage=stage)
+    tx = make_optimizer(base_lr=1e-4)
+    step = make_train_step(loss_fn, tx, donate=False,
+                           grad_transform=dcvc_stage_grad_transform(stage))
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(stage)
+    frames = jnp.asarray(rng.random((1, 3, 64, 64, 3)), jnp.float32)
+    mv0 = np.asarray(
+        jax.tree_util.tree_leaves(params["mv_enc"])[0], np.float32)
+    losses = []
+    for i in range(3):
+        params, opt_state, metrics = step(params, opt_state, frames,
+                                          jnp.int32(0),
+                                          jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    mv1 = np.asarray(
+        jax.tree_util.tree_leaves(params["mv_enc"])[0], np.float32)
+    if stage in (2, 3):
+        np.testing.assert_array_equal(mv0, mv1)  # motion frozen
+    else:
+        assert not np.array_equal(mv0, mv1)  # motion trains
+    del DCVC_MOTION_SUBTREES
+
+
+@pytest.mark.slow
+def test_tcm_training_descends():
+    """TCM trains end-to-end with the feature-propagation chain."""
+    from opendcvc_tpu.models.dmc_tcm import dmc_tcm_init
+    from opendcvc_tpu.training.train import make_tcm_loss
+    params = dmc_tcm_init(jax.random.PRNGKey(5))
+    loss_fn = make_tcm_loss(lmbda=256.0)
+    tx = make_optimizer(base_lr=1e-4)
+    step = make_train_step(loss_fn, tx, donate=False)
+    opt_state = tx.init(params)
+    frames = jnp.asarray(np.random.default_rng(6).random((1, 3, 64, 64, 3)),
+                         jnp.float32)
+    losses = []
+    for i in range(3):
+        params, opt_state, metrics = step(params, opt_state, frames,
+                                          jnp.int32(0),
+                                          jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+
+
 def test_schedules():
     for kind in ("constant", "step", "multistep", "cosine"):
         kw = {"milestones": [100, 200]} if kind == "multistep" else {}

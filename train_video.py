@@ -29,7 +29,13 @@ from opendcvc_tpu.utils.common import str2bool, create_folder
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=["dmci", "dmc"], default="dmc")
+    p.add_argument("--model", choices=["dmci", "dmc", "dcvc", "tcm"],
+                   default="dmc")
+    p.add_argument("--stage", type=int, default=4, choices=[1, 2, 3, 4],
+                   help="dcvc staged training (reference "
+                        "DCVC_net.py:638-666): 1=ME warmup, 2=recon "
+                        "(motion frozen), 3=+bits (motion frozen), "
+                        "4=end-to-end")
     p.add_argument("--dataset_root", type=str, default=None,
                    help="vimeo_septuplet root; synthetic data if omitted")
     p.add_argument("--list_file", type=str, default=None)
@@ -74,8 +80,9 @@ def main():
     from opendcvc_tpu.models.dmci import dmci_init
     from opendcvc_tpu.models.dmc import dmc_init
     from opendcvc_tpu.parallel.mesh import make_mesh
-    from opendcvc_tpu.training.train import (make_dmci_loss, make_dmc_loss,
-                                             make_optimizer, make_train_step)
+    from opendcvc_tpu.training.train import (
+        make_dmci_loss, make_dmc_loss, make_dcvc_loss, make_tcm_loss,
+        dcvc_stage_grad_transform, make_optimizer, make_train_step)
     from opendcvc_tpu.training.data import (Vimeo90kSeptupletDataset,
                                             SyntheticVideoDataset)
     from opendcvc_tpu.utils import checkpoint as ckpt
@@ -97,10 +104,22 @@ def main():
         def loss_fn(params, frames, qp, rng):
             # use the first frame of each clip as an image
             return loss_fn_img(params, frames[:, 0], qp, rng)
+    elif args.model == "dcvc":
+        from opendcvc_tpu.models.dcvc import dcvc_init
+        params = dcvc_init(jax.random.PRNGKey(args.seed))
+        loss_fn = make_dcvc_loss(args.lmbda, stage=args.stage,
+                                 quant_mode=args.quant_mode)
+        grad_transform = dcvc_stage_grad_transform(args.stage)
+    elif args.model == "tcm":
+        from opendcvc_tpu.models.dmc_tcm import dmc_tcm_init
+        params = dmc_tcm_init(jax.random.PRNGKey(args.seed))
+        loss_fn = make_tcm_loss(args.lmbda, quant_mode=args.quant_mode)
     else:
         params = dmc_init(jax.random.PRNGKey(args.seed))
         loss_fn = make_dmc_loss(args.lmbda, quant_mode=args.quant_mode,
                                 lmbda_max=args.lmbda_max)
+    if args.model != "dcvc":
+        grad_transform = None
 
     tx = make_optimizer(args.lr, args.schedule, args.steps,
                         args.warmup_steps, args.grad_clip)
@@ -116,7 +135,8 @@ def main():
     import jax.numpy as jnp_
     step_fn = make_train_step(
         loss_fn, tx, mesh=mesh, donate=True,
-        compute_dtype=jnp_.bfloat16 if args.amp else None)
+        compute_dtype=jnp_.bfloat16 if args.amp else None,
+        grad_transform=grad_transform)
 
     if args.dataset_root:
         ds = Vimeo90kSeptupletDataset(
