@@ -67,12 +67,22 @@ def main():
 
     i_net = DMCI(dtype=dtype)
     i_net.init_params(seed=0)
+    # flat unit banks: random-init weights with the trained log-spaced
+    # rate ladder (models/dmci.py dmci_init) produce out-of-model symbol
+    # magnitudes at mid QPs; the bench pins the banks to a flat scale so
+    # the entropy-coding load matches trained-checkpoint statistics
+    # (bpp ~0.5 at 1080p) instead of thrashing the staging regrow ladder
+    q = i_net.params["q_scale_enc"]
+    i_net.params["q_scale_enc"] = jnp.ones_like(q)
+    i_net.params["q_scale_dec"] = jnp.ones_like(q)
     i_net.update()
     p_net = DMC(dtype=dtype)
     p_net.init_params(seed=1)
     # moderate symbol magnitudes for the entropy-coding load
     q_scale = float(os.environ.get("BENCH_Q_SCALE", 0.25))
-    p_net.params["q_encoder"] = p_net.params["q_encoder"] * q_scale
+    p_net.params["q_encoder"] = jnp.ones_like(
+        p_net.params["q_encoder"]) * q_scale
+    p_net.params["q_decoder"] = jnp.ones_like(p_net.params["q_decoder"])
     p_net.update()
 
     pr, pb = CM.get_padding_size(height, width, 16)

@@ -299,11 +299,12 @@ def undensify_packed(packed, cap, L):
     return dense, lens, states
 
 
-FRAME_MAGIC = 0xD4  # container format/version marker (v4)
+FRAME_MAGIC = 0xD5  # container format/version marker (v5:
+# channel-major symbol-to-lane mapping, models/dmc.py _cm_flat)
 
 
 def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap):
-    """v4 container from an already-dense (decode-order, lane-major)
+    """v5 container from an already-dense (decode-order, lane-major)
     word vector.  Layout:
       u8 FRAME_MAGIC | u32 n | u16 L | u16 K | u16 MW | u32 cap |
       u32 data_len | lens u16*L | states u32*L | dense u16*total
@@ -327,7 +328,7 @@ def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap):
 
 
 def parse_frame(stream, offset=0):
-    """Parse one v4 container into the COMPACT device staging vector:
+    """Parse one v5 container into the COMPACT device staging vector:
     [dense words padded to cap | lens (L) | state hi (L) | state lo (L)]
     — exactly the layout densify_segment produced on the encoder, so
     only ~true-bpp bytes cross host->device and the device re-expands

@@ -320,11 +320,36 @@ def _use_pallas_ec():
     return v is not None and v not in ("0", "false", "False")
 
 
+def _cm_flat(plane):
+    """Flatten a (..., C) plane CHANNEL-MAJOR (c outermost).
+
+    The strided lane assignment maps flat index i -> lane i % lanes;
+    with the natural NHWC flatten and lanes a multiple of C, lane
+    l would see ONLY channel l % C — one hot channel then overloads
+    its lanes ~8x the mean (measured ln.max 107 vs mean 13 at 1080p)
+    and triggers the staging regrow every frame.  Channel-major
+    flattening makes each lane's symbols cycle through all channels
+    AND stride across space (p = l + (lanes - P % lanes) * c mod
+    lanes), so per-lane load hugs the mean.  This matches the
+    reference z coder's order too (cdf index = i / per_channel_size,
+    reference src/cpp/py_rans/rans.cpp:184-200 on NCHW tensors)."""
+    c = plane.shape[-1]
+    return plane.reshape(-1, c).T.reshape(-1)
+
+
+def _cm_unflat(flat, shape):
+    """Inverse of _cm_flat: channel-major flat -> (..., C) plane."""
+    c = shape[-1]
+    return flat.reshape(c, -1).T.reshape(shape)
+
+
 def _lane_layout(sym, rows, lanes, reverse):
     """Strided lane assignment: symbol i -> lane i % lanes.  Activity in
     a frame is spatially clustered; striding spreads it evenly across
     lanes so the max lane length (which sizes the staging buffer and the
-    D2H volume) hugs the mean instead of the hottest region."""
+    D2H volume) hugs the mean instead of the hottest region.  Feed it
+    CHANNEL-MAJOR flats (_cm_flat) so lanes decorrelate from channels
+    too."""
     n = sym.shape[0]
     k = -(-n // lanes)
     pad = lanes * k - n
@@ -365,32 +390,10 @@ def _lane_unlayout_t(sym_kl, n):
 
 
 def _z_rows(nz, c, qp, n_y_rows):
-    return n_y_rows + qp * c + (jnp.arange(nz) % c)
-
-
-def _stage_lane_z(z_int8, qp, n_y_rows, lanes):
-    """Device-EC: z plane -> encode-order lanes."""
-    z_sym = z_int8.reshape(-1).astype(jnp.int32)
-    rows = _z_rows(z_sym.shape[0], z_int8.shape[-1], qp, n_y_rows)
-    return _lane_layout(z_sym, rows, lanes, True)
-
-
-def _stage_lane_y(packed, lanes):
-    """Device-EC: packed y plane (sym<<8|idx) -> encode-order lanes."""
-    pk = packed.reshape(-1).astype(jnp.int32)
-    return _lane_layout(pk >> 8, pk & 255, lanes, True)
-
-
-def _stage_rows_z_dec(zh, zw, c, qp, n_y_rows, lanes):
-    rows = _z_rows(zh * zw * c, c, qp, n_y_rows)
-    return _lane_layout(rows, rows, lanes, False)[0]
-
-
-def _stage_rows_idx_dec(indexes, lanes):
-    rows = indexes.reshape(-1).astype(jnp.int32)
-    return _lane_layout(rows, rows, lanes, False)[0]
-
-
+    """Per-symbol CDF row ids for a CHANNEL-MAJOR flat z plane (row =
+    channel = i // per_channel, the reference coder's own z order,
+    rans.cpp:184-200)."""
+    return n_y_rows + qp * c + (jnp.arange(nz) // (nz // c))
 
 
 def _stage_feature(p, y_hat, ctx, qp):
@@ -454,13 +457,13 @@ def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
                                      ctx, qp)
 
     cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
-    planes = []  # (flat_sym, flat_rows) in encode order
+    planes = []  # (flat_sym, flat_rows) in encode order, channel-major
     for pk in (packed1, packed0):
-        flat = pk.reshape(-1).astype(jnp.int32)
+        flat = _cm_flat(pk).astype(jnp.int32)
         planes.append((flat >> 8, flat & 255))
 
     c_z = z_int8.shape[-1]
-    z_sym = z_int8.reshape(-1).astype(jnp.int32)
+    z_sym = _cm_flat(z_int8).astype(jnp.int32)
     z_rows = _z_rows(z_sym.shape[0], c_z, qp, n_y_rows)
     cum_sub, z_rows_local = _slice_rows(cum_hl, z_rows, c_z,
                                         n_y_rows + qp * c_z)
@@ -570,7 +573,7 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
     cum_sub, z_rows_local = _slice_rows(cum_hl, z_rows, c_z,
                                         n_y_rows + qp * c_z)
     z_syms, carry = dec_seg(z_rows_local, cum_sub, carry)
-    z_hat = z_syms.reshape(1, zh, zw, c_z).astype(x1.dtype)
+    z_hat = _cm_unflat(z_syms, (1, zh, zw, c_z)).astype(x1.dtype)
     params_prior = _stage_prior(p, z_hat, ctx_t)
 
     cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
@@ -578,16 +581,16 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
     ctx = _stage_fe_part2(p, x1)
     _, ih, iw, ic = idx0.shape
     n_y = ih * iw * ic
-    y0_syms, carry = dec_seg(idx0.reshape(-1).astype(jnp.int32),
+    y0_syms, carry = dec_seg(_cm_flat(idx0).astype(jnp.int32),
                              cum_y, carry)
-    y_q_r0 = y0_syms.reshape(1, ih, iw, ic).astype(x1.dtype)
+    y_q_r0 = _cm_unflat(y0_syms, (1, ih, iw, ic)).astype(x1.dtype)
     y_hat_0 = _stage_dec_restore_2x(y_q_r0, params_prior, 0, True)
 
     scales1, means1 = _stage_spatial(p, y_hat_0, params_prior)
     idx1, _ = _stage_fold_index_2x(scales1, 1, None)
-    y1_syms, carry = dec_seg(idx1.reshape(-1).astype(jnp.int32),
+    y1_syms, carry = dec_seg(_cm_flat(idx1).astype(jnp.int32),
                              cum_y, carry)
-    y_q_r1 = y1_syms.reshape(1, ih, iw, ic).astype(x1.dtype)
+    y_q_r1 = _cm_unflat(y1_syms, (1, ih, iw, ic)).astype(x1.dtype)
     y_hat_1 = _stage_dec_restore_2x(y_q_r1, means1, 1, False)
 
     feature_out = _stage_feature_out(p, y_hat_0, y_hat_1, params_prior,
@@ -676,16 +679,6 @@ class DMC:
         self._j_feature_out = jax.jit(_stage_feature_out)
         self._j_recon_x = jax.jit(_stage_recon_x)
         self._j_pack_all = jax.jit(_stage_pack_all)
-        self._j_lane_z = jax.jit(_stage_lane_z, static_argnums=(2, 3))
-        self._j_lane_y = jax.jit(_stage_lane_y, static_argnums=(1,))
-        self._j_rows_z = jax.jit(_stage_rows_z_dec,
-                                 static_argnums=(0, 1, 2, 4, 5))
-        self._j_rows_idx = jax.jit(_stage_rows_idx_dec,
-                                   static_argnums=(1,))
-        dt = dtype
-        self._j_plane_from = jax.jit(
-            lambda s, h, w, c: _lane_unlayout(s, h * w * c)
-            .reshape(1, h, w, c).astype(dt), static_argnums=(1, 2, 3))
         # device-side entropy coding (tpu-lane v2 format): opt-in
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")

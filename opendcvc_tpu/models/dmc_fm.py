@@ -514,7 +514,8 @@ def make_fm_device_stages(cfg):
     """Build the jitted (compress_frame, decompress_frame) megastage
     pair for a coder config (the gaussian scale-table constants)."""
     from .prior_stages import make_pass_stages
-    from .dmc import _lane_layout, _lane_unlayout
+    from .dmc import (_lane_layout, _lane_unlayout, _cm_flat,
+                      _cm_unflat)
     from ..entropy.device_rans import (_encode_scan_carry,
                                        _decode_scan_carry,
                                        _undensify_device,
@@ -560,19 +561,21 @@ def make_fm_device_stages(cfg):
         z_base = n_y_rows
         mvz_base = n_y_rows + G_CH_Z
         for pk in reversed(y_packed):
-            flat = pk.reshape(-1).astype(jnp.int32)
+            flat = _cm_flat(pk).astype(jnp.int32)
             s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
             carry = _encode_scan_carry(s_l, r_l, cum_hl, carry)
-        z_sym = z_int8.reshape(-1).astype(jnp.int32)
-        z_rows = z_base + (jnp.arange(z_sym.shape[0]) % G_CH_Z)
+        z_sym = _cm_flat(z_int8).astype(jnp.int32)
+        z_rows = z_base + (jnp.arange(z_sym.shape[0])
+                           // (z_sym.shape[0] // G_CH_Z))
         s_l, r_l = _lane_layout(z_sym, z_rows, lanes, True)
         carry = _encode_scan_carry(s_l, r_l, cum_hl, carry)
         for pk in reversed(mv_packed):
-            flat = pk.reshape(-1).astype(jnp.int32)
+            flat = _cm_flat(pk).astype(jnp.int32)
             s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
             carry = _encode_scan_carry(s_l, r_l, cum_hl, carry)
-        mz_sym = mv_z_int8.reshape(-1).astype(jnp.int32)
-        mz_rows = mvz_base + (jnp.arange(mz_sym.shape[0]) % CH_MV)
+        mz_sym = _cm_flat(mv_z_int8).astype(jnp.int32)
+        mz_rows = mvz_base + (jnp.arange(mz_sym.shape[0])
+                              // (mz_sym.shape[0] // CH_MV))
         s_l, r_l = _lane_layout(mz_sym, mz_rows, lanes, True)
         state, cursors, buf = _encode_scan_carry(s_l, r_l, cum_hl, carry)
 
@@ -598,21 +601,22 @@ def make_fm_device_stages(cfg):
 
         myh, myw = yh, yw
         n_mvz = zh * zw * CH_MV
-        mz_rows = n_y_rows + G_CH_Z + (jnp.arange(n_mvz) % CH_MV)
-        mv_z_hat = dec_seg(mz_rows).reshape(1, zh, zw, CH_MV) \
-            .astype(ref_frame.dtype)
+        mz_rows = n_y_rows + G_CH_Z + (jnp.arange(n_mvz)
+                                       // (n_mvz // CH_MV))
+        mv_z_hat = _cm_unflat(dec_seg(mz_rows),
+                              (1, zh, zw, CH_MV)).astype(ref_frame.dtype)
         mv_params = _stage_mv_prior(
             p, mv_z_hat, ref_mv_y if steady else None, myh, myw)
 
         idx = st["dec_index0_video"](mv_params)
         so_far = st["dec_restore0_video"](
-            dec_seg(idx.reshape(-1).astype(jnp.int32))
-            .reshape(idx.shape).astype(mv_params.dtype), mv_params)
+            _cm_unflat(dec_seg(_cm_flat(idx).astype(jnp.int32)),
+                       idx.shape).astype(mv_params.dtype), mv_params)
         for k in range(1, 4):
             scales, means = _stage_mv_spatial(p, k, so_far, mv_params)
             idx = st["dec_index_k"](scales, k)
-            y_q_r = dec_seg(idx.reshape(-1).astype(jnp.int32)) \
-                .reshape(idx.shape).astype(mv_params.dtype)
+            y_q_r = _cm_unflat(dec_seg(_cm_flat(idx).astype(jnp.int32)),
+                               idx.shape).astype(mv_params.dtype)
             so_far = st["dec_restore_acc"](y_q_r, means, so_far, k)
         mv_y_hat = st["finalize_video"](so_far, mv_params)
 
@@ -622,21 +626,21 @@ def make_fm_device_stages(cfg):
             fa_idx, steady)
 
         n_z = zh * zw * G_CH_Z
-        z_rows = n_y_rows + (jnp.arange(n_z) % G_CH_Z)
-        z_hat = dec_seg(z_rows).reshape(1, zh, zw, G_CH_Z) \
-            .astype(mv_params.dtype)
+        z_rows = n_y_rows + (jnp.arange(n_z) // (n_z // G_CH_Z))
+        z_hat = _cm_unflat(dec_seg(z_rows),
+                           (1, zh, zw, G_CH_Z)).astype(mv_params.dtype)
         params = _stage_ctx_prior(
             p, z_hat, c3, ref_y if steady else None, yh, yw)
 
         idx = st["dec_index0_video"](params)
         so_far = st["dec_restore0_video"](
-            dec_seg(idx.reshape(-1).astype(jnp.int32))
-            .reshape(idx.shape).astype(params.dtype), params)
+            _cm_unflat(dec_seg(_cm_flat(idx).astype(jnp.int32)),
+                       idx.shape).astype(params.dtype), params)
         for k in range(1, 4):
             scales, means = _stage_y_spatial(p, k, so_far, params)
             idx = st["dec_index_k"](scales, k)
-            y_q_r = dec_seg(idx.reshape(-1).astype(jnp.int32)) \
-                .reshape(idx.shape).astype(params.dtype)
+            y_q_r = _cm_unflat(dec_seg(_cm_flat(idx).astype(jnp.int32)),
+                               idx.shape).astype(params.dtype)
             so_far = st["dec_restore_acc"](y_q_r, means, so_far, k)
         y_hat = st["finalize_video"](so_far, params)
 

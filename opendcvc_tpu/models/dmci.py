@@ -254,7 +254,7 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap):
     from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
                                        densify_segment,
                                        encode_carry_init)
-    from .dmc import _lane_layout
+    from .dmc import _lane_layout, _cm_flat, _z_rows
     y, z_hat, z_int8 = _stage_enc_front(p, x, qp)
     y_h, y_w = y.shape[1], y.shape[2]
     q_enc, q_dec_prior, scales, means, reduced = _stage_prior(
@@ -275,11 +275,11 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap):
     carry = encode_carry_init(lanes, mw)
     cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
     for pk in reversed(planes):
-        flat = pk.reshape(-1).astype(jnp.int32)
+        flat = _cm_flat(pk).astype(jnp.int32)
         s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
         carry = _encode_scan_carry(s_l, r_l, cum_y, carry)
-    z_sym = z_int8.reshape(-1).astype(jnp.int32)
-    z_rows = n_y_rows + qp * c_z + (jnp.arange(z_sym.shape[0]) % c_z)
+    z_sym = _cm_flat(z_int8).astype(jnp.int32)
+    z_rows = _z_rows(z_sym.shape[0], c_z, qp, n_y_rows)
     s_l, r_l = _lane_layout(z_sym, z_rows, lanes, True)
     cum_sub, rows_local = _slice_rows(cum_hl, r_l, c_z,
                                       n_y_rows + qp * c_z)
@@ -292,19 +292,19 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
                         z_channel, lanes, n_y_rows, cap, mw, dt_name):
     from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
                                        _undensify_device)
-    from .dmc import _lane_layout, _lane_unlayout
+    from .dmc import (_lane_layout, _lane_unlayout, _cm_flat,
+                      _cm_unflat, _z_rows)
     data, states = _undensify_device(staging, cap, lanes, mw)
     carry = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
 
     n_z = zh * zw * z_channel
-    z_rows = n_y_rows + qp * z_channel \
-        + (jnp.arange(n_z) % z_channel)
+    z_rows = _z_rows(n_z, z_channel, qp, n_y_rows)
     rows_l, _ = _lane_layout(z_rows, z_rows, lanes, False)
     cum_sub, rows_local = _slice_rows(cum_hl, rows_l, z_channel,
                                       n_y_rows + qp * z_channel)
     z_syms, carry = _decode_scan_carry(data, rows_local, cum_sub, carry)
-    z_hat = _lane_unlayout(z_syms, n_z).reshape(1, zh, zw, z_channel) \
-        .astype(jnp.dtype(dt_name))
+    z_hat = _cm_unflat(_lane_unlayout(z_syms, n_z),
+                       (1, zh, zw, z_channel)).astype(jnp.dtype(dt_name))
 
     _, q_dec_prior, scales, means, reduced = _stage_prior(
         p, z_hat, y_h, y_w)
@@ -317,12 +317,11 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
         indexes, _ = _stage_fold_index(scales, k, None)
         _, ih, iw, ic = indexes.shape
         n_y = ih * iw * ic
-        rows_l, _ = _lane_layout(indexes.reshape(-1).astype(jnp.int32),
-                                 indexes.reshape(-1).astype(jnp.int32),
-                                 lanes, False)
+        idx_cm = _cm_flat(indexes).astype(jnp.int32)
+        rows_l, _ = _lane_layout(idx_cm, idx_cm, lanes, False)
         y_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
-        y_q_r = _lane_unlayout(y_syms, n_y).reshape(1, ih, iw, ic) \
-            .astype(means.dtype)
+        y_q_r = _cm_unflat(_lane_unlayout(y_syms, n_y),
+                           (1, ih, iw, ic)).astype(means.dtype)
         y_hat_so_far = _stage_dec_restore(y_q_r, means, y_hat_so_far, k)
 
     x_hat = _stage_recon(p, y_hat_so_far, q_dec_prior, qp)
@@ -361,18 +360,7 @@ class DMCI:
         self._j_recon = jax.jit(_stage_recon)
 
         # device-side entropy coding (tpu-lane containers): opt-in; the
-        # lane layout stages are shared with the video codec
-        from . import dmc as _D
-        self._j_lane_z = jax.jit(_D._stage_lane_z, static_argnums=(2, 3))
-        self._j_lane_y = jax.jit(_D._stage_lane_y, static_argnums=(1,))
-        self._j_rows_z = jax.jit(_D._stage_rows_z_dec,
-                                 static_argnums=(0, 1, 2, 4, 5))
-        self._j_rows_idx = jax.jit(_D._stage_rows_idx_dec,
-                                   static_argnums=(1,))
-        dt = dtype
-        self._j_plane_from = jax.jit(
-            lambda s, h, w, c: _D._lane_unlayout(s, h * w * c)
-            .reshape(1, h, w, c).astype(dt), static_argnums=(1, 2, 3))
+        # lane layout helpers are shared with the video codec
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")
         self._j_compress_frame = jax.jit(
