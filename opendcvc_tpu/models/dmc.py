@@ -1057,13 +1057,41 @@ class DMC:
         m = metas[0]
         stagings = jnp.asarray(np.stack([st for _, st, _ in parsed]))
         qps_arr = jnp.asarray(np.asarray(qps, np.int32))
+        return self._decompress_gop_uploaded(
+            (m, stagings, len(bit_streams)), sps, qps_arr)
+
+    def upload_gop(self, bit_streams, sps):
+        """Parse a chunk's containers and START its H2D upload (async),
+        so a decoder pipeline can overlay the next chunk's transfer
+        under the current chunk's execution (the decode mirror of
+        compress_gop_async's fetch overlap; the reference overlaps
+        entropy decode with NN compute on a side CUDA stream,
+        video_model.py:364-371).  Returns an opaque handle for
+        decompress_gop_uploaded, or None if the chunk needs the
+        per-frame fallback (mixed ladder rungs)."""
+        from ..entropy.device_rans import parse_frame
+        parsed = [parse_frame(s) for s in bit_streams]
+        metas = [mm for mm, _, _ in parsed]
+        if len({(mm["L"], mm["MW"], mm["cap"]) for mm in metas}) != 1:
+            return None
+        stagings = jax.device_put(np.stack([st for _, st, _ in parsed]))
+        return (metas[0], stagings, len(bit_streams))
+
+    def decompress_gop_uploaded(self, uploaded, sps, qps):
+        return self._decompress_gop_uploaded(
+            uploaded, sps, jnp.asarray(np.asarray(qps, np.int32)))
+
+    def _decompress_gop_uploaded(self, uploaded, sps, qps_arr):
+        m, stagings, n = uploaded
+        p = self.params
+        dec = self.device_decoder
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         feat_last, x_hats = self._j_decompress_gop(
             p, stagings, self.dpb[0].feature, qps_arr, dec.cum_hl, zh,
             zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
             _use_pallas_ec())
         self.add_ref_frame(feat_last, x_hats[-1], increase_poc=False)
-        self.curr_poc += len(bit_streams)
+        self.curr_poc += n
         return {"x_hat": x_hats}
 
     def decompress(self, bit_stream, sps, qp):
