@@ -192,12 +192,12 @@ def main():
         i_frames = [frame(t) for t in range(n_intra)]
         for f in i_frames:
             f.block_until_ready()
-        # warm + measure pipelined intra encode (independent frames:
-        # keep every execution + fetch in flight together)
-        i_streams = [i_net.compress(i_frames[0], qp)["bit_stream"]]
+        # warm + measure the batched intra megastage (independent
+        # frames: ONE execution + ONE dense fetch for the whole batch)
+        i_streams = i_net.compress_batch(i_frames, qp)["bit_streams"]
         t0 = time.perf_counter()
-        finishes = [i_net.compress_async(f, qp)[1] for f in i_frames]
-        i_streams = [fin() for fin in finishes]
+        _, fin = i_net.compress_batch_async(i_frames, qp)
+        i_streams = fin()
         intra_enc_fps = n_intra / (time.perf_counter() - t0)
 
         i_dec = DMCI(dtype=dtype)
@@ -205,11 +205,10 @@ def main():
         i_dec.update()
         i_sps = {"sps_id": 0, "height": height, "width": width,
                  "ec_part": 1 if use_two else 0, "use_ada_i": 0}
-        i_dec.decompress(i_streams[0], i_sps, qp)  # warm
+        i_dec.decompress_batch(i_streams, i_sps, qp)  # warm
         t0 = time.perf_counter()
-        outs = [i_dec.decompress(s, i_sps, qp)["x_hat"]
-                for s in i_streams]
-        outs[-1].block_until_ready()
+        outs = i_dec.decompress_batch(i_streams, i_sps, qp)["x_hat"]
+        outs.block_until_ready()
         intra_dec_fps = n_intra / (time.perf_counter() - t0)
 
     if dec_fps is None:

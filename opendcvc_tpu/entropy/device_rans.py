@@ -93,18 +93,37 @@ def _split_hi_lo_bf16(cum_rows):
     return jnp.concatenate([hi, lo], axis=1)
 
 
-def _row_cum_lookup(r_local, cum_hl):
-    """(L,) local row ids -> (L, 257) exact cumulative values as f32.
+def _row_cum_lookup_hl(r_local, cum_hl):
+    """(L,) local row ids -> ((L, 257), (L, 257)) exact cumulative hi
+    and lo bytes as bf16.
 
     One-hot matmul on the MXU in a single bf16 pass: every output is
-    one nonzero term accumulated in f32, and the hi/lo byte split keeps
-    all operands exactly representable in bf16."""
+    one nonzero term (exact — hi <= 256 and lo <= 255 are integers
+    representable in bf16).  Downstream comparisons and selections stay
+    in bf16: the scan bodies are HBM-bound on their (L, 257)
+    temporaries, so never widening to f32 halves the traffic."""
     nr = cum_hl.shape[0]
     onehot = (r_local[:, None] == jnp.arange(nr)[None, :]) \
         .astype(jnp.bfloat16)
     hl = jnp.matmul(onehot, cum_hl,
-                    preferred_element_type=jnp.float32)     # (L, 514)
-    return hl[:, :257] * 256.0 + hl[:, 257:]
+                    preferred_element_type=jnp.bfloat16)    # (L, 514)
+    return hl[:, :257], hl[:, 257:]
+
+
+def _row_cum_lookup(r_local, cum_hl):
+    """(L,) local row ids -> (L, 257) exact cumulative values as f32."""
+    hi, lo = _row_cum_lookup_hl(r_local, cum_hl)
+    return hi.astype(jnp.float32) * 256.0 + lo.astype(jnp.float32)
+
+
+def _sel_pick_u16(sel_b, hi, lo):
+    """Sum-select exact 16-bit values through a bf16 one-hot mask:
+    sel_b (L, n) bf16 one-hot, hi/lo (L, n) bf16 byte planes ->
+    (L,) int32.  Each reduction has a single nonzero term, so the bf16
+    arithmetic is exact."""
+    h = jnp.sum(sel_b * hi, axis=1).astype(jnp.int32)
+    l = jnp.sum(sel_b * lo, axis=1).astype(jnp.int32)
+    return (h << 8) + l
 
 
 def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
@@ -119,10 +138,11 @@ def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
     rANS with 16-bit renormalisation: state in [2^16, 2^32), at most ONE
     u16 emitted per symbol (freq >= 1 makes a second emission
     impossible).  Per step: one bf16 one-hot matmul fetches the lanes'
-    cumulative rows, (start, next) come from one masked reduction over
-    the 256 bins, and the emitted word goes through a small
-    (L, MW) one-hot accumulate (cursor positions are strictly
-    increasing, so add == set)."""
+    cumulative rows as hi/lo byte planes, (start, next) come from exact
+    bf16 one-hot reductions over the 256 bins (everything stays bf16 —
+    the body is HBM-bound on its (L, 257) temporaries), and the emitted
+    word goes through a small (L, MW) one-hot accumulate (cursor
+    positions are strictly increasing, so add == set)."""
     max_words = carry[2].shape[1]
     col = jnp.arange(max_words, dtype=jnp.int32)[None, :]
     bins = jnp.arange(256, dtype=jnp.int32)[None, :]
@@ -130,15 +150,12 @@ def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
     def body(carry, xs):
         state, cursors, buf = carry
         s, r = xs
-        row_cum = _row_cum_lookup(r, cum_hl_sub)       # (L, 257) f32
-        sel = bins == (s + 128)[:, None]               # (L, 256)
-        picked = jnp.sum(jnp.where(
-            sel[:, None, :],
-            jnp.stack([row_cum[:, :256], row_cum[:, 1:]], axis=1),
-            0.0), axis=2)                              # (L, 2)
-        start = picked[:, 0].astype(jnp.int32).astype(jnp.uint32)
-        freq = (picked[:, 1] - picked[:, 0]).astype(jnp.int32) \
-            .astype(jnp.uint32)
+        hi, lo = _row_cum_lookup_hl(r, cum_hl_sub)     # (L, 257) bf16 x2
+        sel = (bins == (s + 128)[:, None]).astype(jnp.bfloat16)
+        start_i = _sel_pick_u16(sel, hi[:, :256], lo[:, :256])
+        next_i = _sel_pick_u16(sel, hi[:, 1:], lo[:, 1:])
+        start = start_i.astype(jnp.uint32)
+        freq = (next_i - start_i).astype(jnp.uint32)
         cond = state >= (freq << 16)
         word = (state & 0xFFFF).astype(jnp.int32)
         emit = (col == cursors[:, None]) & cond[:, None]
@@ -170,9 +187,17 @@ def _encode_scan(symbols, rows, cum_hl_sub, max_words):
 
 def _slice_rows(cum_hl, rows, nr, row_base):
     """Carve the (nr, 514) subtable at traced row_base and localize the
-    row ids (clamped so lane padding lands on a valid row)."""
+    row ids (clamped so lane padding lands on a valid row).
+
+    The optimization_barrier is load-bearing: without it XLA fuses the
+    dynamic_slice into the consuming scan body, where the one-hot row
+    lookup degenerates from an MXU matmul into a per-step gather fusion
+    (measured 0.64 ms/step vs 13 us/step on a v5e — 8 ms/frame on the
+    z plane alone).  The barrier materializes the subtable once, so the
+    scan sees a plain (nr, 514) constant."""
     cum_sub = lax.dynamic_slice(cum_hl, (row_base, 0),
                                 (nr, cum_hl.shape[1]))
+    cum_sub = lax.optimization_barrier(cum_sub)
     rows_local = jnp.clip(rows - row_base, 0, nr - 1)
     return cum_sub, rows_local
 
@@ -368,10 +393,15 @@ def _undensify_device(staging, cap, L, MW):
     states).  Inverse of densify_segment, run ON the device so decode
     uploads only ~true-bpp bytes instead of the (L, MW) rectangle.
 
-    The lane id of each dense position comes from a vectorized binary
-    search over the lane-end cumsum (log2(L) dense passes); the words
-    then scatter into the padded rectangle (positions beyond a lane's
-    length stay 0, never read by the decode scan)."""
+    The lane id of each dense position is piecewise constant, so it
+    (and the lane's start offset) come from scattering the L lane
+    boundaries into a (cap,) marker and taking a cumsum — two tiny
+    scatters plus two dense cumsums.  A searchsorted formulation is
+    ~13x slower here: XLA lowers it to log2(L) binary-search passes,
+    each a cap-sized element gather at ~9 ns/element (measured 0.64 ms
+    x 13 per frame on a v5e — more than the decode scans themselves).
+    The words then scatter into the padded rectangle (positions beyond
+    a lane's length stay 0, never read by the decode scan)."""
     dense = lax.slice(staging, (0,), (cap,)).astype(jnp.int32)
     lens = lax.slice(staging, (cap,), (cap + L,)).astype(jnp.int32)
     hi = lax.slice(staging, (cap + L,),
@@ -380,11 +410,15 @@ def _undensify_device(staging, cap, L, MW):
                    (cap + 3 * L,)).astype(jnp.uint32)
     states = (hi << 16) | lo
     ends = jnp.cumsum(lens)
-    offs = ends - lens
     pos = jnp.arange(cap, dtype=jnp.int32)
-    lane = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
+    # lane[p] = #{l: ends[l] <= p}; offs[lane[p]] = sum of those lens
+    ends_c = jnp.minimum(ends, cap)
+    bnd = jnp.zeros((cap + 1,), jnp.int32).at[ends_c].add(1)
+    wts = jnp.zeros((cap + 1,), jnp.int32).at[ends_c].add(lens)
+    lane = jnp.cumsum(bnd[:cap])
+    offs_pp = jnp.cumsum(wts[:cap])
     lane_c = jnp.minimum(lane, L - 1)
-    j = pos - offs[lane_c]
+    j = pos - offs_pp
     dst = jnp.where(lane < L, lane_c * MW + j, L * MW)
     data = jnp.zeros((L * MW + 1,), jnp.int32).at[dst].set(
         dense, mode="drop", unique_indices=True)
@@ -423,14 +457,21 @@ def _decode_scan_carry(data, rows, cum_hl_sub, carry):
     so the last bin <= f IS the symbol), (start, next) come from one
     stacked masked reduction, and the single renorm word fetch is a
     one-hot reduction over the lane's word row (XLA's per-element
-    gather is far slower than these dense VPU reductions on TPU)."""
+    gather is far slower than these dense VPU reductions on TPU).
+    Measured on a v5e: the bf16-matmul + f32-combine + stacked-max
+    shape here is the fastest of four search formulations (5.7 vs
+    6.9-7.0 ms for 272 steps at 4096 lanes); a pure-bf16 predicate
+    search ties standalone but fuses pathologically inside the decode
+    megastages (50 vs 24 ms/frame)."""
     L, MW = data.shape
     col = jnp.arange(MW, dtype=jnp.int32)[None, :]
     big = jnp.float32(1 << 17)
 
     def body(carry, r):
         state, ptr = carry
-        row_cum = _row_cum_lookup(r, cum_hl_sub)         # (L, 257) f32
+        hi, lo = _row_cum_lookup_hl(r, cum_hl_sub)     # (L, 257) bf16 x2
+        row_cum = hi.astype(jnp.float32) * 256.0 \
+            + lo.astype(jnp.float32)                   # (L, 257) exact
         f = (state & 0xFFFF).astype(jnp.int32)
         ff = f.astype(jnp.float32)[:, None]
         le = row_cum <= ff

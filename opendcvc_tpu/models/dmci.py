@@ -22,6 +22,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..layers import blocks as L
 from ..ops import fused as F
@@ -328,6 +329,39 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
     return x_hat
 
 
+def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap):
+    """Batched intra encode: B independent frames scanned through the
+    single-frame megastage — ONE execution + ONE dense D2H for the whole
+    batch, so the link's per-transfer latency amortizes over B frames.
+
+    lax.scan (not vmap) on purpose: the scan body compiles the exact
+    B=1 shapes of the single-frame jits, so the floats that drive
+    symbol/index construction are bit-identical to the single-frame
+    path — a vmapped variant changes conv shapes, which changes XLA's
+    accumulation tiling and breaks the encoder/decoder index contract
+    across batch-size mismatches (measured: streams survive but recon
+    floats drift)."""
+    def body(_, xq):
+        x, qp = xq
+        return 0, _compress_frame_i(p, x, qp, cum_hl, lanes, mw,
+                                    n_y_rows, cap)
+    _, (x_hats, stagings) = lax.scan(body, 0, (xs, qps))
+    return x_hats, stagings
+
+
+def _decompress_batch_i(p, stagings, qps, cum_hl, zh, zw, y_h, y_w,
+                        z_channel, lanes, n_y_rows, cap, mw, dt_name):
+    """Batched intra decode: B compact stagings in ONE upload + ONE
+    execution (scan mirror of _compress_batch_i; same B=1 stage shapes
+    as the single-frame decoder, so decode is bit-identical regardless
+    of how frames are grouped into batches)."""
+    def body(_, sq):
+        s, qp = sq
+        return 0, _decompress_frame_i(p, s, qp, cum_hl, zh, zw, y_h,
+                                      y_w, z_channel, lanes, n_y_rows,
+                                      cap, mw, dt_name)
+    _, x_hats = lax.scan(body, 0, (stagings, qps))
+    return x_hats
 
 
 # ---------------------------------------------------------------------------
@@ -367,6 +401,11 @@ class DMCI:
             _compress_frame_i, static_argnums=(4, 5, 6, 7))
         self._j_decompress_frame = jax.jit(
             _decompress_frame_i,
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+        self._j_compress_batch = jax.jit(
+            _compress_batch_i, static_argnums=(4, 5, 6, 7))
+        self._j_decompress_batch = jax.jit(
+            _decompress_batch_i,
             static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
         self.device_encoder = None
         self.device_decoder = None
@@ -503,6 +542,56 @@ class DMCI:
         x_hat, finish = self._compress_device_async(x, qp_dev)
         return {"bit_stream": finish(), "x_hat": x_hat}
 
+    def compress_batch_async(self, xs, qps):
+        """Batched device-EC encode: B independent frames in ONE
+        execution + ONE dense D2H.  xs: list of (1, H, W, 3) (or a
+        stacked (B, 1, H, W, 3) array); qps: int or list of B ints.
+        Returns (x_hats (B, 1, H, W, 3), finish) where finish() yields
+        the list of B bit streams.  Frames that overflow the staging
+        rectangle (rare) re-run through the single-frame regrow
+        ladder."""
+        from ..entropy.device_rans import (serialize_frame_dense,
+                                           undensify_packed)
+        if not (self.device_ec and self.force_zero_thres is None):
+            raise ValueError("compress_batch_async requires device-EC")
+        xs = jnp.stack([jnp.asarray(x, dtype=self.dtype) for x in xs]) \
+            if isinstance(xs, (list, tuple)) else jnp.asarray(xs)
+        B = xs.shape[0]
+        qps_list = [int(qps)] * B if np.isscalar(qps) else list(qps)
+        qps_arr = jnp.asarray(np.asarray(qps_list, np.int32))
+        enc = self.device_encoder
+        H, W = xs.shape[2], xs.shape[3]
+        bps = enc.bytes_per_symbol
+        mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
+        x_hats, stagings = self._j_compress_batch(
+            self.params, xs, qps_arr, enc.cum_hl, enc.lanes, mw,
+            enc.n_y_rows, cap)
+        try:
+            stagings.copy_to_host_async()
+        except Exception:
+            pass
+
+        def finish():
+            arr = jax.device_get(stagings)  # ONE fetch for B frames
+            streams = []
+            for i in range(B):
+                dense, ln, st = undensify_packed(arr[i], cap, enc.lanes)
+                if int(ln.max(initial=0)) < mw - 2 \
+                        and int(ln.sum()) <= cap:
+                    streams.append(serialize_frame_dense(
+                        dense, ln, st, n_total, k_total, mw, cap))
+                else:  # rare hard frame: single-frame regrow ladder
+                    _, fin = self._compress_device_async(
+                        xs[i], np.int32(qps_list[i]))
+                    streams.append(fin())
+            return streams
+
+        return x_hats, finish
+
+    def compress_batch(self, xs, qps):
+        x_hats, finish = self.compress_batch_async(xs, qps)
+        return {"bit_streams": finish(), "x_hat": x_hats}
+
     def compress_async(self, x, qp):
         """Pipelined device-EC encode: dispatches the megastage and the
         async fetch, returns (x_hat, finish) where finish() yields the
@@ -584,6 +673,36 @@ class DMCI:
             y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
             m["MW"], np.dtype(self.dtype).name)
         return {"x_hat": x_hat}
+
+    def decompress_batch(self, bit_streams, sps, qps):
+        """Batched device-EC decode: B independent frames' compact
+        stagings in ONE upload + ONE execution.  Streams whose container
+        geometry differs from the batch majority (mixed regrow rungs)
+        fall back to the single-frame path.  Returns {"x_hat":
+        (B, 1, H, W, 3)}."""
+        from ..entropy.device_rans import parse_frame
+        if not (self.device_ec and self.force_zero_thres is None):
+            raise ValueError("decompress_batch requires device-EC mode")
+        B = len(bit_streams)
+        qps_list = [int(qps)] * B if np.isscalar(qps) else list(qps)
+        parsed = [parse_frame(s) for s in bit_streams]
+        metas = [m for m, _, _ in parsed]
+        dec = self.device_decoder
+        zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"],
+                                           16)
+        if len({(m["L"], m["MW"], m["cap"]) for m in metas}) != 1:
+            xs = [self._decompress_device(s, sps, q)["x_hat"]
+                  for s, q in zip(bit_streams, qps_list)]
+            return {"x_hat": jnp.stack(xs)}
+        m = metas[0]
+        stagings = jnp.asarray(np.stack([st for _, st, _ in parsed]))
+        qps_arr = jnp.asarray(np.asarray(qps_list, np.int32))
+        x_hats = self._j_decompress_batch(
+            self.params, stagings, qps_arr, dec.cum_hl, zh, zw, y_h,
+            y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
+            m["MW"], np.dtype(self.dtype).name)
+        return {"x_hat": x_hats}
 
     def decompress(self, bit_stream, sps, qp):
         p = self.params

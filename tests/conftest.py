@@ -11,11 +11,17 @@ creation, so setting it here is always effective.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# OPENDCVC_TPU_TEST_PLATFORM=tpu runs the suite on the real device
+# instead of the virtual CPU mesh — the entry point for qualifying the
+# Pallas kernels (tests/test_pallas_rans.py) and device-EC paths on
+# hardware:  OPENDCVC_TPU_TEST_PLATFORM=tpu pytest tests/test_pallas_rans.py
+_PLATFORM = os.environ.get("OPENDCVC_TPU_TEST_PLATFORM", "cpu")
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # persistent compilation cache: repeated test runs skip XLA recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -25,16 +31,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402  (must come after the env staging above)
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+if _PLATFORM == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
-assert jax.devices()[0].platform == "cpu", (
-    "tests require the virtual CPU mesh; a device backend was initialized "
-    "before conftest could force JAX_PLATFORMS=cpu")
-assert len(jax.devices()) >= 8, (
-    "xla_force_host_platform_device_count=8 did not take effect")
+    assert jax.devices()[0].platform == "cpu", (
+        "tests require the virtual CPU mesh; a device backend was "
+        "initialized before conftest could force JAX_PLATFORMS=cpu")
+    assert len(jax.devices()) >= 8, (
+        "xla_force_host_platform_device_count=8 did not take effect")
 
 
 def pytest_configure(config):

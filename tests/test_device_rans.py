@@ -262,6 +262,44 @@ def test_dmci_device_ec_roundtrip_matches_classic():
 
 
 @pytest.mark.slow
+def test_dmci_batch_matches_single():
+    """Batched intra megastages (one execution + one transfer for B
+    independent frames) must emit byte-identical streams and decode to
+    exactly the frames the single-frame device-EC path produces —
+    including per-frame QPs."""
+    from opendcvc_tpu.models.dmci import DMCI
+    rng = np.random.default_rng(3)
+    frames = [jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32))
+              for _ in range(3)]
+    qps = [12, 28, 40]
+    os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
+    try:
+        net = DMCI()
+        net.init_params(seed=0)
+        net.update()
+        singles = [net.compress(x, q) for x, q in zip(frames, qps)]
+        out = net.compress_batch(frames, qps)
+        for i, s in enumerate(singles):
+            assert out["bit_streams"][i] == s["bit_stream"]
+            np.testing.assert_array_equal(
+                np.asarray(out["x_hat"][i]), np.asarray(s["x_hat"]))
+
+        dec = DMCI()
+        dec.load_params(net.params)
+        dec.update()
+        sps = {"sps_id": 0, "height": 64, "width": 96, "ec_part": 0,
+               "use_ada_i": 0}
+        xb = dec.decompress_batch(out["bit_streams"], sps, qps)["x_hat"]
+        for i, s in enumerate(singles):
+            np.testing.assert_array_equal(
+                np.asarray(xb[i]),
+                np.asarray(dec.decompress(out["bit_streams"][i], sps,
+                                          qps[i])["x_hat"]))
+    finally:
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
+
+@pytest.mark.slow
 def test_dmci_fm_device_ec_roundtrip_matches_classic():
     """FM intra device-EC (fused megastage pair, five planes in one
     lane segment) must reproduce exactly the frames the classic
