@@ -47,6 +47,12 @@ def main():
     os.environ.setdefault("OPENDCVC_TPU_EC_CAP_FRAC", "0.375")
     import opendcvc_tpu  # noqa: F401  (pins XLA determinism flags)
     import jax
+    # BENCH_PLATFORM=cpu forces the host platform even when a device
+    # plugin hooks the backend registry (JAX_PLATFORMS env alone is
+    # overridden by such plugins; the config update is authoritative
+    # as long as no backend has been initialized yet)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     from opendcvc_tpu.models.dmc import DMC
     from opendcvc_tpu.models.dmci import DMCI
