@@ -27,6 +27,38 @@ def get_qp_num():
     return QP_NUM
 
 
+_INIT_MEMO = {}
+
+
+def run_init(build, key, memo_key=None):
+    """Run a parameter-init closure, jitted only on accelerators.
+
+    On a tunneled/remote device the ~300 eager random ops of a full
+    init cost ~18 ms dispatch EACH, so init must be one compiled
+    program.  On CPU it is the opposite: the single giant init program
+    takes ~50-60 s to COMPILE (and the persistent cache does not retain
+    it), while the eager ops run in ~20 s — and the CPU test suite pays
+    that compile in every module's codec fixture.
+
+    memo_key (hashable, should encode model class + seed + dtype +
+    width config) additionally memoizes the built pytree within the
+    process: repeated same-seed inits (per-worker harness codecs, one
+    fixture per test module) return instantly.  The memo hands out a
+    fresh dict STRUCTURE each time (leaves shared — jax arrays are
+    immutable) so callers that reassign entries cannot contaminate
+    later inits."""
+    if memo_key is not None and memo_key in _INIT_MEMO:
+        return jax.tree_util.tree_map(lambda a: a, _INIT_MEMO[memo_key])
+    if jax.default_backend() == "cpu":
+        out = build(key)
+    else:
+        out = jax.jit(build)(key)
+    if memo_key is not None:
+        _INIT_MEMO[memo_key] = out
+        return jax.tree_util.tree_map(lambda a: a, out)
+    return out
+
+
 def assert_determinism_flags():
     """Device-EC setup gate: the bit-exact enc/dec temporal-chain
     contract requires --xla_allow_excess_precision=false to have been

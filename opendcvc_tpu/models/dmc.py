@@ -712,7 +712,9 @@ class DMC:
                     lambda a: a.astype(self.dtype)
                     if a.dtype == jnp.float32 else a, p)
             return p
-        self.params = jax.jit(build)(jax.random.PRNGKey(seed))
+        self.params = C.run_init(
+            build, jax.random.PRNGKey(seed),
+            memo_key=("dmc", seed, np.dtype(self.dtype).name))
         return self.params
 
     def load_params(self, params):

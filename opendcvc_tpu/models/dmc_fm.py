@@ -731,7 +731,9 @@ class DMCFM:
             p["y_q_enc"] = jnp.array([0.5, 2.0])
             p["y_q_dec"] = jnp.array([0.5, 2.0])
             return p
-        self.params = jax.jit(build)(jax.random.PRNGKey(seed))
+        self.params = C.run_init(
+            build, jax.random.PRNGKey(seed),
+            memo_key=("dmc_fm", seed, np.dtype(self.dtype).name))
         return self.params
 
     def load_params(self, params):

@@ -435,7 +435,10 @@ class DMCI:
                     lambda a: a.astype(self.dtype)
                     if a.dtype == jnp.float32 else a, p)
             return p
-        self.params = jax.jit(build)(jax.random.PRNGKey(seed))
+        self.params = C.run_init(
+            build, jax.random.PRNGKey(seed),
+            memo_key=("dmci", seed, np.dtype(self.dtype).name, self.N,
+                      self.z_channel, self.enc_dec_ch))
         return self.params
 
     def load_params(self, params):

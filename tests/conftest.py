@@ -26,10 +26,21 @@ if _PLATFORM == "cpu":
 # persistent compilation cache: repeated test runs skip XLA recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/opendcvc_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402  (must come after the env staging above)
+
+# the env vars above only bind if jax was imported BY this conftest; a
+# sitecustomize that pre-imports jax (device plugin environments)
+# captures the config before they exist, silently disabling the cache —
+# config.update is authoritative either way
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", float(
+    os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", int(
+    os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]))
 
 if _PLATFORM == "cpu":
     try:
