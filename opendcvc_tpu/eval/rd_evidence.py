@@ -46,6 +46,23 @@ def synthetic_images(n, size, seed=0):
     return imgs
 
 
+def synthetic_pairs(n, size, seed=0):
+    """Deterministic (ref, cur) frame pairs with global motion: cur is
+    ref shifted by a few pixels plus mild noise — the implicit-motion
+    P-codec must spend bits on the innovation, so rate responds to QP
+    the same way it does on natural video."""
+    imgs = synthetic_images(n, size, seed)
+    rng = np.random.default_rng(seed + 999)
+    pairs = []
+    for im in imgs:
+        dy, dx = (int(v) for v in rng.integers(-4, 5, 2))
+        cur = np.roll(im, (dy, dx), axis=(1, 2))
+        cur = np.clip(cur + rng.normal(0, 0.01, cur.shape)
+                      .astype(np.float32), 0, 1).astype(np.float32)
+        pairs.append((im, cur))
+    return pairs
+
+
 #: reduced-channel DMCI used for the committable RD evidence (a
 #: full-size trained checkpoint is ~183 MB; this one is a few MB and
 #: regenerable deterministically in CI)
@@ -139,6 +156,110 @@ def train_tiny(out_ckpt, steps=3000, seed=0, crop=96, batch=8,
     return out_ckpt
 
 
+def measure_dmc(ckpt_path, qps=(16, 26, 36, 46), size=128, n_pairs=4,
+                seed=0):
+    """P-frame RD sweep with REAL streams: each pair seeds the DPB with
+    the ground-truth reference (perfect-I condition), encodes the
+    current frame, decodes it from the bytes, and compares the coder's
+    bits against the training forward's analytic estimate."""
+    import jax
+    import jax.numpy as jnp
+    from ..models.dmc import DMC
+    from ..training.forward import dmc_forward_one_frame
+    from ..utils import checkpoint as ckpt
+    from ..utils.metrics import calc_psnr
+
+    payload = ckpt.load_checkpoint(ckpt_path)
+    net = DMC()
+    net.load_params(payload["params"])
+    net.update()
+    dec = DMC()
+    dec.load_params(payload["params"])
+    dec.update()
+    sps = {"sps_id": 0, "height": size, "width": size, "ec_part": 0,
+           "use_ada_i": 0}
+
+    pairs = synthetic_pairs(n_pairs, size, seed)
+    points = []
+    for qp in qps:
+        est_bits = real_bits = 0.0
+        quality = []
+        for ref, cur in pairs:
+            ref_j, cur_j = jnp.asarray(ref), jnp.asarray(cur)
+            fwd = dmc_forward_one_frame(
+                payload["params"], cur_j, ref_j, None, jnp.int32(qp),
+                jax.random.PRNGKey(0), quant_mode="ste")
+            est_bits += float(fwd["bpp"]) * size * size
+            net.clear_dpb()
+            net.set_curr_poc(0)
+            net.add_ref_frame(None, ref_j)
+            enc = net.compress(cur_j, qp)
+            real_bits += len(enc["bit_stream"]) * 8
+            dec.clear_dpb()
+            dec.set_curr_poc(0)
+            dec.add_ref_frame(None, ref_j)
+            out = dec.decompress(enc["bit_stream"], sps, qp)
+            quality.append(float(calc_psnr(
+                np.asarray(out["x_hat"], np.float32), cur,
+                data_range=1.0)))
+        points.append({
+            "qp": int(qp),
+            "bpp_stream": real_bits / (n_pairs * size * size),
+            "bpp_estimate": est_bits / (n_pairs * size * size),
+            "stream_vs_estimate": real_bits / est_bits,
+            "psnr": float(np.mean(quality)),
+        })
+    return points
+
+
+def train_tiny_dmc(out_ckpt, steps=2000, seed=0, crop=96, batch=4,
+                   lmbda_min=32.0, lmbda_max=4096.0, lr=1e-4,
+                   log_every=100):
+    """Deterministically train a DMC P-frame RD-evidence checkpoint on
+    synthetic motion pairs with the per-QP lambda ladder.  The RT
+    channel plan is reference-fixed (no reduced variant), so the
+    resulting checkpoint is ~100 MB and is NOT committed — the JSON
+    evidence records this exact regeneration recipe instead."""
+    import jax
+    import jax.numpy as jnp
+    from ..models.dmc import dmc_init
+    from ..training.train import (make_dmc_loss, make_optimizer,
+                                  make_train_step)
+    from ..models import common as C
+    from ..utils import checkpoint as ckpt
+
+    params = C.run_init(dmc_init, jax.random.PRNGKey(seed))
+    loss_fn = make_dmc_loss(lmbda_min, quant_mode="ste",
+                            lmbda_max=lmbda_max)
+    tx = make_optimizer(base_lr=lr, schedule="cosine",
+                        total_steps=steps, warmup_steps=min(200, steps))
+    step_fn = make_train_step(loss_fn, tx, donate=False)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(seed + 1)
+    key = jax.random.PRNGKey(seed + 2)
+    for i in range(steps):
+        pairs = synthetic_pairs(batch, crop, seed=seed + 10 + i)
+        frames = np.stack([np.concatenate([r, c], axis=0)
+                           for r, c in pairs])  # (B, 2, H, W, C)
+        qp = jnp.int32(int(rng.integers(0, 64)))
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, jnp.asarray(frames), qp, sub)
+        if (i + 1) % log_every == 0:
+            print(f"step {i + 1}: loss={float(metrics['loss']):.4f} "
+                  f"bpp={float(metrics['bpp']):.4f} "
+                  f"mse={float(metrics['mse']):.5f} qp={int(qp)}",
+                  flush=True)
+        # NOTE: extra must stay numeric — flax msgpack_restore cannot
+        # round-trip python strings
+        if (i + 1) % 250 == 0 or i + 1 == steps:
+            ckpt.save_params(out_ckpt, params,
+                             extra={"steps": i + 1, "seed": seed,
+                                    "lmbda": [lmbda_min, lmbda_max]})
+    return out_ckpt
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
@@ -151,11 +272,18 @@ def main(argv=None):
                          "checkpoint at --ckpt, then measure")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--model", choices=["dmci", "dmc"], default="dmci")
     args = ap.parse_args(argv)
-    if args.train_tiny:
-        train_tiny(args.ckpt, steps=args.steps, seed=args.seed)
-    points = measure(args.ckpt, qps=tuple(args.qps), size=args.size)
-    payload = {"model": "dmci", "ckpt": args.ckpt, "points": points}
+    if args.model == "dmc":
+        if args.train_tiny:
+            train_tiny_dmc(args.ckpt, steps=args.steps, seed=args.seed)
+        points = measure_dmc(args.ckpt, qps=tuple(args.qps),
+                             size=args.size)
+    else:
+        if args.train_tiny:
+            train_tiny(args.ckpt, steps=args.steps, seed=args.seed)
+        points = measure(args.ckpt, qps=tuple(args.qps), size=args.size)
+    payload = {"model": args.model, "ckpt": args.ckpt, "points": points}
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
     for p in points:
