@@ -150,19 +150,28 @@ def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
     def body(carry, xs):
         state, cursors, buf = carry
         s, r = xs
+        # SKIP_ROW (255) = zero-rate passthrough: force_zero_thres
+        # positions keep their lane slot but leave state/cursor
+        # untouched, mirroring the reference's skip mode where
+        # sub-threshold symbols are never coded (reference
+        # entropy_models.py:285-341).  The one-hot row fetch returns an
+        # all-zero row for 255, so freq is clamped to dodge the
+        # division; the garbage update is selected away.
+        is_skip = r == SKIP_ROW
         hi, lo = _row_cum_lookup_hl(r, cum_hl_sub)     # (L, 257) bf16 x2
         sel = (bins == (s + 128)[:, None]).astype(jnp.bfloat16)
         start_i = _sel_pick_u16(sel, hi[:, :256], lo[:, :256])
         next_i = _sel_pick_u16(sel, hi[:, 1:], lo[:, 1:])
         start = start_i.astype(jnp.uint32)
-        freq = (next_i - start_i).astype(jnp.uint32)
-        cond = state >= (freq << 16)
+        freq = jnp.maximum((next_i - start_i).astype(jnp.uint32), 1)
+        cond = (state >= (freq << 16)) & ~is_skip
         word = (state & 0xFFFF).astype(jnp.int32)
         emit = (col == cursors[:, None]) & cond[:, None]
         buf = buf + jnp.where(emit, word[:, None], 0)
-        state = jnp.where(cond, state >> 16, state)
+        state1 = jnp.where(cond, state >> 16, state)
         cursors = cursors + cond.astype(jnp.int32)
-        state = ((state // freq) << 16) + (state % freq) + start
+        state2 = ((state1 // freq) << 16) + (state1 % freq) + start
+        state = jnp.where(is_skip, state, state2)
         return (state, cursors, buf), None
 
     carry, _ = lax.scan(body, carry, (symbols.T, rows.T), unroll=2)
@@ -324,6 +333,12 @@ def undensify_packed(packed, cap, L):
     return dense, lens, states
 
 
+#: sentinel CDF-row id marking a force-zero-thres SKIPPED symbol: the
+#: scans pass it through at zero rate (no emission, no state change) and
+#: decode it as 0.  Real local row ids stay < 255 (y rows <= 127, z rows
+#: < channel count <= 128).
+SKIP_ROW = 255
+
 FRAME_MAGIC = 0xD5  # container format/version marker (v5:
 # channel-major symbol-to-lane mapping, models/dmc.py _cm_flat)
 
@@ -469,6 +484,9 @@ def _decode_scan_carry(data, rows, cum_hl_sub, carry):
 
     def body(carry, r):
         state, ptr = carry
+        # SKIP_ROW (255): zero-rate passthrough — decode symbol 0 with
+        # state/pointer untouched (mirror of the encoder's skip lanes)
+        is_skip = r == SKIP_ROW
         hi, lo = _row_cum_lookup_hl(r, cum_hl_sub)     # (L, 257) bf16 x2
         row_cum = hi.astype(jnp.float32) * 256.0 \
             + lo.astype(jnp.float32)                   # (L, 257) exact
@@ -484,14 +502,16 @@ def _decode_scan_carry(data, rows, cum_hl_sub, carry):
         start = packed[:, 0].astype(jnp.int32).astype(jnp.uint32)
         freq = (-packed[:, 1] - packed[:, 0]).astype(jnp.int32) \
             .astype(jnp.uint32)
-        state = freq * (state >> 16) + f.astype(jnp.uint32) - start
-        need = state < (1 << 16)
+        state1 = jnp.where(
+            is_skip, state,
+            freq * (state >> 16) + f.astype(jnp.uint32) - start)
+        need = state1 < (1 << 16)
         word = jnp.sum(jnp.where(col == ptr[:, None], data, 0), axis=1)
         state = jnp.where(need,
-                          (state << 16) | word.astype(jnp.uint32),
-                          state)
+                          (state1 << 16) | word.astype(jnp.uint32),
+                          state1)
         ptr = ptr + need.astype(jnp.int32)
-        return (state, ptr), sym - 128
+        return (state, ptr), jnp.where(is_skip, 0, sym - 128)
 
     carry, out = lax.scan(body, carry, rows.T, unroll=2)
     return out.T, carry  # (L, K)

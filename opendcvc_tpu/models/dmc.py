@@ -434,7 +434,7 @@ def _stage_recon_x(p, feature, qp):
 
 
 def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
-                         n_y_rows, cap, use_pallas=False):
+                         n_y_rows, cap, use_pallas=False, fz=None):
     """Encoder megastage body on an already-adapted feature: frame ->
     next ref feature + ONE encoded lane segment (z, y0, y1 coded
     back-to-back per lane with rANS state continuation, so the container
@@ -444,23 +444,34 @@ def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
 
     Encode order per lane is reversed(y1), reversed(y0), reversed(z) —
     the decoder consumes z, then y0, then y1."""
-    from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
-                                       densify_segment, encode_carry_init)
+    from ..entropy.device_rans import (SKIP_ROW, _encode_scan_carry,
+                                       _slice_rows, densify_segment,
+                                       encode_carry_init)
     x1, ctx_t = _stage_fe_part1(p, feature, qp)
     ctx = _stage_fe_part2(p, x1)
     y, z_hat, z_int8 = _stage_encode_y(p, x, ctx, qp)
     params_prior = _stage_prior(p, z_hat, ctx_t)
-    y_div, packed0, _, y_hat_0 = _stage_enc_pass0(y, params_prior, None)
+    y_div, packed0, keep0, y_hat_0 = _stage_enc_pass0(y, params_prior,
+                                                      fz)
     scales1, means1 = _stage_spatial(p, y_hat_0, params_prior)
-    packed1, _, y_hat_1 = _stage_enc_pass1(y_div, scales1, means1, None)
+    packed1, keep1, y_hat_1 = _stage_enc_pass1(y_div, scales1, means1,
+                                               fz)
     feature_out = _stage_feature_out(p, y_hat_0, y_hat_1, params_prior,
                                      ctx, qp)
 
     cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
     planes = []  # (flat_sym, flat_rows) in encode order, channel-major
-    for pk in (packed1, packed0):
+    for pk, keep in ((packed1, keep1), (packed0, keep0)):
         flat = _cm_flat(pk).astype(jnp.int32)
-        planes.append((flat >> 8, flat & 255))
+        sym, row = flat >> 8, flat & 255
+        if fz is not None:
+            # force-zero skip: sub-threshold positions keep their lane
+            # slot but ride the zero-rate SKIP_ROW (the quantizer
+            # already forced their symbol to 0 in process_with_mask)
+            kf = _cm_flat(keep)
+            row = jnp.where(kf, row, SKIP_ROW)
+            sym = jnp.where(kf, sym, 0)
+        planes.append((sym, row))
 
     c_z = z_int8.shape[-1]
     z_sym = _cm_flat(z_int8).astype(jnp.int32)
@@ -496,18 +507,18 @@ def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
 
 
 def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
-                    n_y_rows, cap, use_pallas=False):
+                    n_y_rows, cap, use_pallas=False, fz=None):
     """Single-frame encoder megastage (adaptor + core)."""
     if from_feature:
         feature = _stage_adaptor_p(p, ref)
     else:
         feature = _stage_adaptor_i(p, ref)
     return _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
-                                n_y_rows, cap, use_pallas)
+                                n_y_rows, cap, use_pallas, fz)
 
 
 def _compress_gop(p, xs, feature_in, qps, cum_hl, lanes, mw, n_y_rows,
-                  cap, use_pallas=False):
+                  cap, use_pallas=False, fz=None):
     """GOP-batched encoder megastage: N consecutive P-frames in ONE
     compiled program (lax.scan over the frame axis; the propagated
     feature is the scan carry, an in-graph dependency).  The link's
@@ -529,7 +540,8 @@ def _compress_gop(p, xs, feature_in, qps, cum_hl, lanes, mw, n_y_rows,
         x, qp = xq
         f = _stage_adaptor_p(p, feat)
         f_out, seg = _compress_frame_core(p, x, f, qp, cum_hl, lanes,
-                                          mw, n_y_rows, cap, use_pallas)
+                                          mw, n_y_rows, cap, use_pallas,
+                                          fz)
         return f_out, (seg, feat)
 
     feat_last, (segs, feats_in) = lax.scan(body, feature_in, (xs, qps))
@@ -537,7 +549,8 @@ def _compress_gop(p, xs, feature_in, qps, cum_hl, lanes, mw, n_y_rows,
 
 
 def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
-                           lanes, n_y_rows, cap, mw, use_pallas=False):
+                           lanes, n_y_rows, cap, mw, use_pallas=False,
+                           fz=None):
     """Decoder megastage body on an already-adapted feature: compact
     staged lane stream -> next ref feature + reconstructed frame, fully
     on-device (one H2D upload of ~true-bpp bytes, one execution).  The
@@ -545,9 +558,15 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
     decode sub-scans share one rANS state/pointer carry.  Every shared
     stage is the same code the encoder megastage ran, so the temporal
     chain stays bit-identical."""
-    from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
-                                       _undensify_device)
+    from ..entropy.device_rans import (SKIP_ROW, _decode_scan_carry,
+                                       _slice_rows, _undensify_device)
     x1, ctx_t = _stage_fe_part1(p, feature, qp)
+
+    def rows_with_skip(idx, keep):
+        rows = _cm_flat(idx).astype(jnp.int32)
+        if fz is None:
+            return rows
+        return jnp.where(_cm_flat(keep), rows, SKIP_ROW)
 
     data, states = _undensify_device(staging, cap, lanes, mw)
     carry = (states.astype(jnp.uint32),
@@ -577,19 +596,17 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
     params_prior = _stage_prior(p, z_hat, ctx_t)
 
     cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
-    idx0, _ = _stage_dec_index0(params_prior, None)
+    idx0, keep0 = _stage_dec_index0(params_prior, fz)
     ctx = _stage_fe_part2(p, x1)
     _, ih, iw, ic = idx0.shape
     n_y = ih * iw * ic
-    y0_syms, carry = dec_seg(_cm_flat(idx0).astype(jnp.int32),
-                             cum_y, carry)
+    y0_syms, carry = dec_seg(rows_with_skip(idx0, keep0), cum_y, carry)
     y_q_r0 = _cm_unflat(y0_syms, (1, ih, iw, ic)).astype(x1.dtype)
     y_hat_0 = _stage_dec_restore_2x(y_q_r0, params_prior, 0, True)
 
     scales1, means1 = _stage_spatial(p, y_hat_0, params_prior)
-    idx1, _ = _stage_fold_index_2x(scales1, 1, None)
-    y1_syms, carry = dec_seg(_cm_flat(idx1).astype(jnp.int32),
-                             cum_y, carry)
+    idx1, keep1 = _stage_fold_index_2x(scales1, 1, fz)
+    y1_syms, carry = dec_seg(rows_with_skip(idx1, keep1), cum_y, carry)
     y_q_r1 = _cm_unflat(y1_syms, (1, ih, iw, ic)).astype(x1.dtype)
     y_hat_1 = _stage_dec_restore_2x(y_q_r1, means1, 1, False)
 
@@ -600,7 +617,8 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
 
 
 def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature, zh,
-                      zw, lanes, n_y_rows, cap, mw, use_pallas=False):
+                      zw, lanes, n_y_rows, cap, mw, use_pallas=False,
+                      fz=None):
     """Single-frame decoder megastage (adaptor + core)."""
     if from_feature:
         feature = _stage_adaptor_p(p, ref)
@@ -608,11 +626,12 @@ def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature, zh,
         feature = _stage_adaptor_i(p, ref)
     return _decompress_frame_core(p, staging, feature, qp, cum_hl, zh,
                                   zw, lanes, n_y_rows, cap, mw,
-                                  use_pallas)
+                                  use_pallas, fz)
 
 
 def _decompress_gop(p, stagings, feature_in, qps, cum_hl, zh, zw,
-                    lanes, n_y_rows, cap, mw, use_pallas=False):
+                    lanes, n_y_rows, cap, mw, use_pallas=False,
+                    fz=None):
     """GOP-batched decoder megastage: N frames' compact stagings in ONE
     upload + ONE execution (scan mirror of _compress_gop — the decoder
     runs the exact same shared stage code, so the temporal chain stays
@@ -624,7 +643,7 @@ def _decompress_gop(p, stagings, feature_in, qps, cum_hl, zh, zw,
         f = _stage_adaptor_p(p, feat)
         f_out, x_hat = _decompress_frame_core(
             p, staging, f, qp, cum_hl, zh, zw, lanes, n_y_rows, cap,
-            mw, use_pallas)
+            mw, use_pallas, fz)
         return f_out, x_hat
 
     feat_last, x_hats = lax.scan(body, feature_in, (stagings, qps))
@@ -686,14 +705,15 @@ class DMC:
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
         self._j_compress_frame = jax.jit(
-            _compress_frame, static_argnums=(5, 6, 7, 8, 9, 10))
+            _compress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11))
         self._j_decompress_frame = jax.jit(
             _decompress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                               12))
+                                               12, 13))
         self._j_compress_gop = jax.jit(
-            _compress_gop, static_argnums=(5, 6, 7, 8, 9))
+            _compress_gop, static_argnums=(5, 6, 7, 8, 9, 10))
         self._j_decompress_gop = jax.jit(
-            _decompress_gop, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+            _decompress_gop, static_argnums=(5, 6, 7, 8, 9, 10, 11,
+                                             12))
 
     # -- setup ---------------------------------------------------------------
 
@@ -721,12 +741,6 @@ class DMC:
         self.params = params
 
     def update(self, force_zero_thres=None):
-        if self.device_ec and force_zero_thres is not None:
-            raise ValueError(
-                "device-side entropy coding does not support "
-                "force_zero_thres (skip mode needs dynamic symbol "
-                "counts); unset OPENDCVC_TPU_DEVICE_EC to use the host "
-                "coder's skip mode")
         self.entropy_coder = EntropyCoder()
         self.force_zero_thres = force_zero_thres
         self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
@@ -806,7 +820,7 @@ class DMC:
         qp_dev = np.int32(qp)
         x = jnp.asarray(x, dtype=self.dtype)
 
-        if self.device_ec and fz is None:
+        if self.device_ec:
             return self._compress_async_device(x, qp, qp_dev)
 
         feature = self.apply_feature_adaptor()
@@ -934,12 +948,15 @@ class DMC:
         H, W = x.shape[1], x.shape[2]
         n_total, k_total, bps, mw, cap = self._plan_device_ec(H, W)
 
+        fz = self.force_zero_thres
+
         def run(mw, cap, use_pallas):
             return self._j_compress_frame(
                 p, x, ref, qp_dev, enc.cum_hl, from_feature, enc.lanes,
-                mw, enc.n_y_rows, cap, use_pallas)
+                mw, enc.n_y_rows, cap, use_pallas, fz)
 
-        feature_out, packed = run(mw, cap, _use_pallas_ec())
+        feature_out, packed = run(mw, cap,
+                                  _use_pallas_ec() and fz is None)
         try:
             packed.copy_to_host_async()
         except Exception:
@@ -961,9 +978,9 @@ class DMC:
         with compress_async).  Returns a zero-arg callable producing the
         list of per-frame bit streams (same container each frame as the
         single-frame path)."""
-        if not self.device_ec or self.force_zero_thres is not None:
+        if not self.device_ec:
             raise ValueError("compress_gop_async requires device-EC "
-                             "mode without skip thresholding")
+                             "mode")
         if self.dpb[0].feature is None:
             raise ValueError("compress_gop_async needs a feature "
                              "reference (encode the first P-frame with "
@@ -977,9 +994,10 @@ class DMC:
         H, W = xs.shape[2], xs.shape[3]
         n_total, k_total, bps, mw, cap = self._plan_device_ec(H, W)
 
+        fz = self.force_zero_thres
         feat_last, segs, feats_in = self._j_compress_gop(
             p, xs, self.dpb[0].feature, qps_arr, enc.cum_hl, enc.lanes,
-            mw, enc.n_y_rows, cap, _use_pallas_ec())
+            mw, enc.n_y_rows, cap, _use_pallas_ec() and fz is None, fz)
         try:
             segs.copy_to_host_async()
         except Exception:
@@ -995,7 +1013,8 @@ class DMC:
                     return self._j_compress_frame(
                         p, jnp.asarray(frames[i], self.dtype),
                         feats_in[i], np.int32(qps_np[i]), enc.cum_hl,
-                        True, enc.lanes, m, enc.n_y_rows, c, False)[1]
+                        True, enc.lanes, m, enc.n_y_rows, c, False,
+                        fz)[1]
                 streams.append(self._finish_one_device(
                     arr[i], mw, cap, bps, n_total, k_total, rerun))
             return streams
@@ -1027,10 +1046,11 @@ class DMC:
         from_feature = self.dpb[0].feature is not None
         ref = self.dpb[0].feature if from_feature \
             else jnp.asarray(self.dpb[0].frame, self.dtype)
+        fz = self.force_zero_thres
         feature_out, x_hat = self._j_decompress_frame(
             p, stream_dev, ref, qp_dev, dec.cum_hl, from_feature,
             zh, zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
-            _use_pallas_ec())
+            _use_pallas_ec() and fz is None, fz)
         self.add_ref_frame(feature_out, x_hat)
         return {"x_hat": x_hat}
 
@@ -1042,7 +1062,7 @@ class DMC:
         {"x_hat": (N, 1, H, W, C)} with the DPB advanced past the whole
         chunk."""
         from ..entropy.device_rans import parse_frame
-        if not self.device_ec or self.force_zero_thres is not None:
+        if not self.device_ec:
             raise ValueError("decompress_gop requires device-EC mode")
         if self.dpb[0].feature is None:
             raise ValueError("decompress_gop needs a feature reference "
@@ -1088,10 +1108,11 @@ class DMC:
         p = self.params
         dec = self.device_decoder
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
+        fz = self.force_zero_thres
         feat_last, x_hats = self._j_decompress_gop(
             p, stagings, self.dpb[0].feature, qps_arr, dec.cum_hl, zh,
             zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
-            _use_pallas_ec())
+            _use_pallas_ec() and fz is None, fz)
         self.add_ref_frame(feat_last, x_hats[-1], increase_poc=False)
         self.curr_poc += n
         return {"x_hat": x_hats}
@@ -1099,7 +1120,7 @@ class DMC:
     def decompress(self, bit_stream, sps, qp):
         p = self.params
         fz = self.force_zero_thres
-        if self.device_ec and fz is None:
+        if self.device_ec:
             return self._decompress_device(bit_stream, sps, qp)
         qp_dev = np.int32(qp)
 

@@ -251,9 +251,10 @@ def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
 # ---------------------------------------------------------------------------
 
 
-def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap):
-    from ..entropy.device_rans import (_encode_scan_carry, _slice_rows,
-                                       densify_segment,
+def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
+                      fz=None):
+    from ..entropy.device_rans import (SKIP_ROW, _encode_scan_carry,
+                                       _slice_rows, densify_segment,
                                        encode_carry_init)
     from .dmc import _lane_layout, _cm_flat, _z_rows
     y, z_hat, z_int8 = _stage_enc_front(p, x, qp)
@@ -262,22 +263,27 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap):
         p, z_hat, y_h, y_w)
 
     planes = []
-    y_s, packed0, _, so_far = _stage_enc_pass0(y, q_enc, scales, means,
-                                               None)
-    planes.append(packed0)
+    y_s, packed0, keep0, so_far = _stage_enc_pass0(y, q_enc, scales,
+                                                   means, fz)
+    planes.append((packed0, keep0))
     for k in range(1, 4):
         scales, means = _stage_spatial(p, k, so_far, reduced)
-        packed, _, so_far = _stage_enc_pass(y_s, scales, means, so_far,
-                                            k, None)
-        planes.append(packed)
+        packed, keep, so_far = _stage_enc_pass(y_s, scales, means,
+                                               so_far, k, fz)
+        planes.append((packed, keep))
     x_hat = _stage_recon(p, so_far, q_dec_prior, qp)
 
     c_z = z_int8.shape[-1]
     carry = encode_carry_init(lanes, mw)
     cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
-    for pk in reversed(planes):
+    for pk, keep in reversed(planes):
         flat = _cm_flat(pk).astype(jnp.int32)
-        s_l, r_l = _lane_layout(flat >> 8, flat & 255, lanes, True)
+        sym, row = flat >> 8, flat & 255
+        if fz is not None:
+            kf = _cm_flat(keep)
+            row = jnp.where(kf, row, SKIP_ROW)
+            sym = jnp.where(kf, sym, 0)
+        s_l, r_l = _lane_layout(sym, row, lanes, True)
         carry = _encode_scan_carry(s_l, r_l, cum_y, carry)
     z_sym = _cm_flat(z_int8).astype(jnp.int32)
     z_rows = _z_rows(z_sym.shape[0], c_z, qp, n_y_rows)
@@ -290,9 +296,10 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap):
 
 
 def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
-                        z_channel, lanes, n_y_rows, cap, mw, dt_name):
-    from ..entropy.device_rans import (_decode_scan_carry, _slice_rows,
-                                       _undensify_device)
+                        z_channel, lanes, n_y_rows, cap, mw, dt_name,
+                        fz=None):
+    from ..entropy.device_rans import (SKIP_ROW, _decode_scan_carry,
+                                       _slice_rows, _undensify_device)
     from .dmc import (_lane_layout, _lane_unlayout, _cm_flat,
                       _cm_unflat, _z_rows)
     data, states = _undensify_device(staging, cap, lanes, mw)
@@ -315,10 +322,12 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
     for k in range(4):
         if k > 0:
             scales, means = _stage_spatial(p, k, y_hat_so_far, reduced)
-        indexes, _ = _stage_fold_index(scales, k, None)
+        indexes, keep = _stage_fold_index(scales, k, fz)
         _, ih, iw, ic = indexes.shape
         n_y = ih * iw * ic
         idx_cm = _cm_flat(indexes).astype(jnp.int32)
+        if fz is not None:
+            idx_cm = jnp.where(_cm_flat(keep), idx_cm, SKIP_ROW)
         rows_l, _ = _lane_layout(idx_cm, idx_cm, lanes, False)
         y_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
         y_q_r = _cm_unflat(_lane_unlayout(y_syms, n_y),
@@ -329,7 +338,8 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
     return x_hat
 
 
-def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap):
+def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap,
+                      fz=None):
     """Batched intra encode: B independent frames scanned through the
     single-frame megastage — ONE execution + ONE dense D2H for the whole
     batch, so the link's per-transfer latency amortizes over B frames.
@@ -344,13 +354,14 @@ def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap):
     def body(_, xq):
         x, qp = xq
         return 0, _compress_frame_i(p, x, qp, cum_hl, lanes, mw,
-                                    n_y_rows, cap)
+                                    n_y_rows, cap, fz)
     _, (x_hats, stagings) = lax.scan(body, 0, (xs, qps))
     return x_hats, stagings
 
 
 def _decompress_batch_i(p, stagings, qps, cum_hl, zh, zw, y_h, y_w,
-                        z_channel, lanes, n_y_rows, cap, mw, dt_name):
+                        z_channel, lanes, n_y_rows, cap, mw, dt_name,
+                        fz=None):
     """Batched intra decode: B compact stagings in ONE upload + ONE
     execution (scan mirror of _compress_batch_i; same B=1 stage shapes
     as the single-frame decoder, so decode is bit-identical regardless
@@ -359,7 +370,7 @@ def _decompress_batch_i(p, stagings, qps, cum_hl, zh, zw, y_h, y_w,
         s, qp = sq
         return 0, _decompress_frame_i(p, s, qp, cum_hl, zh, zw, y_h,
                                       y_w, z_channel, lanes, n_y_rows,
-                                      cap, mw, dt_name)
+                                      cap, mw, dt_name, fz)
     _, x_hats = lax.scan(body, 0, (stagings, qps))
     return x_hats
 
@@ -398,15 +409,15 @@ class DMCI:
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")
         self._j_compress_frame = jax.jit(
-            _compress_frame_i, static_argnums=(4, 5, 6, 7))
+            _compress_frame_i, static_argnums=(4, 5, 6, 7, 8))
         self._j_decompress_frame = jax.jit(
             _decompress_frame_i,
-            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
         self._j_compress_batch = jax.jit(
-            _compress_batch_i, static_argnums=(4, 5, 6, 7))
+            _compress_batch_i, static_argnums=(4, 5, 6, 7, 8))
         self._j_decompress_batch = jax.jit(
             _decompress_batch_i,
-            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -447,12 +458,6 @@ class DMCI:
     def update(self, force_zero_thres=None):
         """Build CDF tables and bind the entropy coder (reference
         common_model.py:49-52)."""
-        if self.device_ec and force_zero_thres is not None:
-            raise ValueError(
-                "device-side entropy coding does not support "
-                "force_zero_thres (skip mode needs dynamic symbol "
-                "counts); unset OPENDCVC_TPU_DEVICE_EC to use the host "
-                "coder's skip mode")
         self.entropy_coder = EntropyCoder()
         self.force_zero_thres = force_zero_thres
         self.gaussian_encoder.update(self.entropy_coder, force_zero_thres)
@@ -504,9 +509,10 @@ class DMCI:
         H, W = x.shape[1], x.shape[2]
         bps0 = enc.bytes_per_symbol
         mw0, cap0, _, _ = self._mw_cap_for(H, W, bps0)
+        fz = self.force_zero_thres
         x_hat, staging = self._j_compress_frame(
             self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw0,
-            enc.n_y_rows, cap0)
+            enc.n_y_rows, cap0, fz)
         try:
             staging.copy_to_host_async()
         except Exception:
@@ -529,7 +535,7 @@ class DMCI:
                     H, W, bps, top_rung=top)
                 _, t = self._j_compress_frame(
                     self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
-                    enc.n_y_rows, cap)
+                    enc.n_y_rows, cap, fz)
                 dense, ln, st = undensify_packed(jax.device_get(t),
                                                  cap, enc.lanes)
             else:
@@ -555,7 +561,7 @@ class DMCI:
         ladder."""
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
-        if not (self.device_ec and self.force_zero_thres is None):
+        if not self.device_ec:
             raise ValueError("compress_batch_async requires device-EC")
         xs = jnp.stack([jnp.asarray(x, dtype=self.dtype) for x in xs]) \
             if isinstance(xs, (list, tuple)) else jnp.asarray(xs)
@@ -566,9 +572,10 @@ class DMCI:
         H, W = xs.shape[2], xs.shape[3]
         bps = enc.bytes_per_symbol
         mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
+        fz = self.force_zero_thres
         x_hats, stagings = self._j_compress_batch(
             self.params, xs, qps_arr, enc.cum_hl, enc.lanes, mw,
-            enc.n_y_rows, cap)
+            enc.n_y_rows, cap, fz)
         try:
             stagings.copy_to_host_async()
         except Exception:
@@ -614,7 +621,7 @@ class DMCI:
         qp_dev = np.int32(qp)
         x = jnp.asarray(x, dtype=self.dtype)
 
-        if self.device_ec and fz is None:
+        if self.device_ec:
             return self._compress_device(x, qp_dev)
 
         y, z_hat, z_int8 = self._j_enc_front(p, x, qp_dev)
@@ -674,7 +681,7 @@ class DMCI:
         x_hat = self._j_decompress_frame(
             self.params, stream_dev, qp_dev, dec.cum_hl, zh, zw, y_h,
             y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
-            m["MW"], np.dtype(self.dtype).name)
+            m["MW"], np.dtype(self.dtype).name, self.force_zero_thres)
         return {"x_hat": x_hat}
 
     def decompress_batch(self, bit_streams, sps, qps):
@@ -684,7 +691,7 @@ class DMCI:
         fall back to the single-frame path.  Returns {"x_hat":
         (B, 1, H, W, 3)}."""
         from ..entropy.device_rans import parse_frame
-        if not (self.device_ec and self.force_zero_thres is None):
+        if not self.device_ec:
             raise ValueError("decompress_batch requires device-EC mode")
         B = len(bit_streams)
         qps_list = [int(qps)] * B if np.isscalar(qps) else list(qps)
@@ -704,14 +711,14 @@ class DMCI:
         x_hats = self._j_decompress_batch(
             self.params, stagings, qps_arr, dec.cum_hl, zh, zw, y_h,
             y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
-            m["MW"], np.dtype(self.dtype).name)
+            m["MW"], np.dtype(self.dtype).name, self.force_zero_thres)
         return {"x_hat": x_hats}
 
     def decompress(self, bit_stream, sps, qp):
         p = self.params
         fz = self.force_zero_thres
         qp_dev = np.int32(qp)
-        if self.device_ec and fz is None:
+        if self.device_ec:
             return self._decompress_device(bit_stream, sps, qp)
 
         self.entropy_coder.set_use_two_entropy_coders(sps["ec_part"] == 1)

@@ -228,6 +228,91 @@ def test_dmc_device_ec_roundtrip_matches_classic():
 
 
 @pytest.mark.slow
+def test_dmc_device_ec_skip_mode_matches_classic():
+    """force_zero_thres in device-EC mode (SKIP_ROW zero-rate
+    passthrough lanes) must reproduce exactly the frames the classic
+    host path's skip mode produces, and the skip must actually save
+    rate vs coding everything."""
+    from opendcvc_tpu.models.dmc import DMC
+    thres = 0.3
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    x1 = jnp.asarray(np.clip(np.asarray(x0)
+                             + rng.normal(0, 0.02, (1, 64, 64, 3))
+                             .astype(np.float32), 0, 1))
+
+    def run(device_ec, fz):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
+        try:
+            enc = DMC()
+            enc.init_params(seed=0)
+            enc.update(force_zero_thres=fz)
+            enc.clear_dpb()
+            enc.set_curr_poc(0)
+            enc.add_ref_frame(None, x0)
+            s1 = enc.compress(x1, 21)["bit_stream"]
+            s2 = enc.compress(x1, 25)["bit_stream"]
+
+            dec = DMC()
+            dec.load_params(enc.params)
+            dec.update(force_zero_thres=fz)
+            dec.clear_dpb()
+            dec.set_curr_poc(0)
+            dec.add_ref_frame(None, x0)
+            sps = {"sps_id": 0, "height": 64, "width": 64, "ec_part": 0,
+                   "use_ada_i": 0}
+            r1 = dec.decompress(s1, sps, 21)["x_hat"]
+            r2 = dec.decompress(s2, sps, 25)["x_hat"]
+            return (np.asarray(r1), np.asarray(r2), len(s1) + len(s2),
+                    np.asarray(dec.dpb[0].feature, np.float32))
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
+    d1, d2, d_bytes, d_feat = run(True, thres)
+    c1, c2, _, c_feat = run(False, thres)
+    np.testing.assert_array_equal(d1, c1)
+    np.testing.assert_array_equal(d2, c2)
+    np.testing.assert_array_equal(d_feat, c_feat)
+    _, _, full_bytes, _ = run(True, None)
+    assert d_bytes < full_bytes, (d_bytes, full_bytes)
+
+
+@pytest.mark.slow
+def test_dmci_device_ec_skip_mode_matches_classic():
+    """Intra 4-pass skip mode: device-EC vs classic host path, exact
+    reconstruction equality at two QPs."""
+    from opendcvc_tpu.models.dmci import DMCI
+    thres = 0.3
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32))
+
+    def run(device_ec):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
+        try:
+            net = DMCI()
+            net.init_params(seed=0)
+            net.update(force_zero_thres=thres)
+            s1 = net.compress(x, 12)["bit_stream"]
+            s2 = net.compress(x, 40)["bit_stream"]
+
+            dec = DMCI()
+            dec.load_params(net.params)
+            dec.update(force_zero_thres=thres)
+            sps = {"sps_id": 0, "height": 64, "width": 96, "ec_part": 0,
+                   "use_ada_i": 0}
+            r1 = dec.decompress(s1, sps, 12)["x_hat"]
+            r2 = dec.decompress(s2, sps, 40)["x_hat"]
+            return np.asarray(r1), np.asarray(r2)
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
+    d1, d2 = run(True)
+    c1, c2 = run(False)
+    np.testing.assert_array_equal(d1, c1)
+    np.testing.assert_array_equal(d2, c2)
+
+
+@pytest.mark.slow
 def test_dmci_device_ec_roundtrip_matches_classic():
     """Device-EC image compress+decompress must reproduce exactly the
     frames the classic host-rANS path produces."""
