@@ -333,6 +333,23 @@ def undensify_packed(packed, cap, L):
     return dense, lens, states
 
 
+def effective_lanes(max_lanes, n_symbols, min_lanes=256,
+                    min_steps=64):
+    """Scale the lane count to the frame's symbol count.
+
+    The container carries ~6 bytes of per-lane state (u16 len + u32
+    rANS state), so small frames at the full configured lane count
+    drown in fixed overhead (measured 64 bpp at 48x64 with 4096 lanes).
+    Halving lanes costs almost nothing in scan time — the scan bodies
+    are bound by total (n x 257) traffic, not step count — so shrink
+    until each lane has >= min_steps symbols.  The decoder needs no
+    configuration: every container records its own L."""
+    lanes = max_lanes
+    while lanes > min_lanes and lanes * min_steps > n_symbols:
+        lanes //= 2
+    return max(lanes, min_lanes)
+
+
 #: sentinel CDF-row id marking a force-zero-thres SKIPPED symbol: the
 #: scans pass it through at zero rate (no emission, no state change) and
 #: decode it as 0.  Real local row ids stay < 255 (y rows <= 127, z rows

@@ -892,32 +892,35 @@ class DMC:
         return max(4096, int(lanes * mw * frac) // 8 * 8)
 
     def _plan_device_ec(self, H, W):
-        """Static lane-coding plan for a frame size: symbol counts and
+        """Static lane-coding plan for a frame size: effective lane
+        count (scaled to the symbol count so the ~6 B/lane container
+        overhead stays negligible on small frames), symbol counts, and
         the first-rung (mw, cap)."""
+        from ..entropy.device_rans import effective_lanes
         enc = self.device_encoder
         n_y = (H // 16) * (W // 16) * G_CH_Y // 2
         zh, zw = C.get_downsampled_shape(H, W, 64)
         n_z = zh * zw * G_CH_Z
-        k_y = -(-n_y // enc.lanes)
-        k_z = -(-n_z // enc.lanes)
+        lanes = effective_lanes(enc.lanes, 2 * n_y + n_z)
+        k_y = -(-n_y // lanes)
+        k_z = -(-n_z // lanes)
         k_total = k_z + 2 * k_y
-        n_total = enc.lanes * k_total
+        n_total = lanes * k_total
         bps = enc.bytes_per_symbol
-        _, mw = self._mw_for(n_total, enc.lanes, bps)
-        cap = self._cap_for(enc.lanes, mw)
-        return n_total, k_total, bps, mw, cap
+        _, mw = self._mw_for(n_total, lanes, bps)
+        cap = self._cap_for(lanes, mw)
+        return lanes, n_total, k_total, bps, mw, cap
 
-    def _finish_one_device(self, arr, mw, cap, bps, n_total, k_total,
-                           rerun):
+    def _finish_one_device(self, arr, lanes, mw, cap, bps, n_total,
+                           k_total, rerun):
         """Overflow-check one fetched compact staging and serialize it;
         `rerun(mw, cap)` re-executes the frame at a grown rung (XLA scan
         path: overflow frames are rare and each extra Pallas (mw, cap)
         config would cost a fresh multi-minute Mosaic compile)."""
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
-        enc = self.device_encoder
         g_mw, g_cap, g_bps = mw, cap, bps
-        dense, ln, st = undensify_packed(arr, g_cap, enc.lanes)
+        dense, ln, st = undensify_packed(arr, g_cap, lanes)
         for _ in range(8):
             if int(ln.max(initial=0)) < g_mw - 2 \
                     and int(ln.sum()) <= g_cap:
@@ -926,11 +929,11 @@ class DMC:
             # rare hard frame: grow staging + dense cap, re-run
             top = g_bps >= 3.0
             g_bps = min(g_bps * 2, 3.0)
-            _, g_mw = self._mw_for(n_total, enc.lanes, g_bps)
-            g_cap = self._cap_for(enc.lanes, g_mw, top_rung=top)
+            _, g_mw = self._mw_for(n_total, lanes, g_bps)
+            g_cap = self._cap_for(lanes, g_mw, top_rung=top)
             t = rerun(g_mw, g_cap)
             dense, ln, st = undensify_packed(
-                jax.device_get(t), g_cap, enc.lanes)
+                jax.device_get(t), g_cap, lanes)
         raise OverflowError(
             "device rANS staging overflowed at the top ladder rung")
 
@@ -946,13 +949,14 @@ class DMC:
             else jnp.asarray(self.dpb[0].frame, self.dtype)
 
         H, W = x.shape[1], x.shape[2]
-        n_total, k_total, bps, mw, cap = self._plan_device_ec(H, W)
+        lanes, n_total, k_total, bps, mw, cap = \
+            self._plan_device_ec(H, W)
 
         fz = self.force_zero_thres
 
         def run(mw, cap, use_pallas):
             return self._j_compress_frame(
-                p, x, ref, qp_dev, enc.cum_hl, from_feature, enc.lanes,
+                p, x, ref, qp_dev, enc.cum_hl, from_feature, lanes,
                 mw, enc.n_y_rows, cap, use_pallas, fz)
 
         feature_out, packed = run(mw, cap,
@@ -965,8 +969,8 @@ class DMC:
 
         def finish_device():
             return self._finish_one_device(
-                jax.device_get(packed), mw, cap, bps, n_total, k_total,
-                lambda m, c: run(m, c, False)[1])
+                jax.device_get(packed), lanes, mw, cap, bps, n_total,
+                k_total, lambda m, c: run(m, c, False)[1])
 
         return finish_device
 
@@ -992,11 +996,12 @@ class DMC:
         qps_np = [int(q) for q in qps]
 
         H, W = xs.shape[2], xs.shape[3]
-        n_total, k_total, bps, mw, cap = self._plan_device_ec(H, W)
+        lanes, n_total, k_total, bps, mw, cap = \
+            self._plan_device_ec(H, W)
 
         fz = self.force_zero_thres
         feat_last, segs, feats_in = self._j_compress_gop(
-            p, xs, self.dpb[0].feature, qps_arr, enc.cum_hl, enc.lanes,
+            p, xs, self.dpb[0].feature, qps_arr, enc.cum_hl, lanes,
             mw, enc.n_y_rows, cap, _use_pallas_ec() and fz is None, fz)
         try:
             segs.copy_to_host_async()
@@ -1013,10 +1018,11 @@ class DMC:
                     return self._j_compress_frame(
                         p, jnp.asarray(frames[i], self.dtype),
                         feats_in[i], np.int32(qps_np[i]), enc.cum_hl,
-                        True, enc.lanes, m, enc.n_y_rows, c, False,
+                        True, lanes, m, enc.n_y_rows, c, False,
                         fz)[1]
                 streams.append(self._finish_one_device(
-                    arr[i], mw, cap, bps, n_total, k_total, rerun))
+                    arr[i], lanes, mw, cap, bps, n_total, k_total,
+                    rerun))
             return streams
 
         return finish_gop

@@ -811,10 +811,15 @@ class DMCFM:
     # -- compress / decompress -------------------------------------------------
 
     def _mw_cap_for(self, H, W, top_rung=False):
-        lanes = self.device_encoder.lanes
+        from ..entropy.device_rans import effective_lanes
         n_y = (H // 16) * (W // 16) * G_CH_16X // 4
         n_mv = (H // 16) * (W // 16) * CH_MV // 4
         zh, zw = C.get_downsampled_shape(H, W, 64)
+        n_sym = (4 * n_y + 4 * n_mv + zh * zw * G_CH_Z
+                 + zh * zw * CH_MV)
+        # lanes scale with the symbol count (~6 B/lane container
+        # overhead would drown small frames at the configured maximum)
+        lanes = effective_lanes(self.device_encoder.lanes, n_sym)
         k_total = (4 * (-(-n_y // lanes)) + 4 * (-(-n_mv // lanes))
                    + (-(-(zh * zw * G_CH_Z) // lanes))
                    + (-(-(zh * zw * CH_MV) // lanes)))
@@ -822,7 +827,7 @@ class DMCFM:
         # top rung: full rectangle, so the regrow ladder terminates
         cap = lanes * mw if top_rung else max(4096, lanes * mw // 2)
         n_total = lanes * k_total
-        return mw, cap, n_total, k_total
+        return mw, cap, n_total, k_total, lanes
 
     def _compress_device(self, x, dpb, q_index, fa_idx):
         p = self.params
@@ -839,28 +844,28 @@ class DMCFM:
                 dpb["ref_y"] if steady else zeros,
                 dpb["ref_mv_y"] if steady else zeros,
                 jnp.int32(fa_idx), jnp.int32(q_index), enc.cum_hl,
-                steady, enc.lanes, mw, enc.n_y_rows, cap)
+                steady, lanes, mw, enc.n_y_rows, cap)
 
         self._cur_bps = self.ec_bps
-        mw, cap, n_total, k_total = self._mw_cap_for(H, W)
+        mw, cap, n_total, k_total, lanes = self._mw_cap_for(H, W)
         out = run(mw, cap)
         x_hat, feature, mv_feature, y_hat, mv_y_hat, staging = out
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
         dense, ln, st = undensify_packed(jax.device_get(staging), cap,
-                                         enc.lanes)
+                                         lanes)
         for _ in range(8):
             if int(ln.max(initial=0)) < mw - 2 and int(ln.sum()) <= cap:
                 break
             # hard frame: grow the staging ladder and re-run
             top = self._cur_bps >= 3.0
             self._cur_bps = min(self._cur_bps * 2, 3.0)
-            mw, cap, n_total, k_total = self._mw_cap_for(H, W,
-                                                         top_rung=top)
+            mw, cap, n_total, k_total, lanes = self._mw_cap_for(
+                H, W, top_rung=top)
             out = run(mw, cap)
             staging = out[5]
             dense, ln, st = undensify_packed(jax.device_get(staging),
-                                             cap, enc.lanes)
+                                             cap, lanes)
         else:
             raise OverflowError(
                 "device rANS staging overflowed at the top ladder rung")

@@ -484,19 +484,23 @@ class DMCI:
     # -- compress -----------------------------------------------------------
 
     def _mw_cap_for(self, H, W, bps=None, top_rung=False):
-        lanes = self.device_encoder.lanes
+        from ..entropy.device_rans import effective_lanes
         if bps is None:
             bps = self.device_encoder.bytes_per_symbol
         y_h, y_w = C.get_downsampled_shape(H, W, 16)
         zh, zw = C.get_downsampled_shape(H, W, 64)
         n_y = y_h * y_w * self.N // 4
-        k_total = 4 * (-(-n_y // lanes)) \
-            + (-(-(zh * zw * self.z_channel) // lanes))
+        n_z = zh * zw * self.z_channel
+        # lanes scale with the symbol count: per-lane container
+        # overhead (~6 B) would otherwise drown small frames
+        lanes = effective_lanes(self.device_encoder.lanes,
+                                4 * n_y + n_z)
+        k_total = 4 * (-(-n_y // lanes)) + (-(-n_z // lanes))
         mw = max(8, int(k_total * bps / 2)) + 4
         # top rung: full rectangle (each symbol emits at most one word,
         # so lanes*mw always fits and the regrow ladder terminates)
         cap = lanes * mw if top_rung else max(4096, lanes * mw // 2)
-        return mw, cap, lanes * k_total, k_total
+        return mw, cap, lanes * k_total, k_total, lanes
 
     def _compress_device_async(self, x, qp_dev):
         """Device-EC encode: ONE execution + one dense D2H per frame
@@ -508,10 +512,10 @@ class DMCI:
         enc = self.device_encoder
         H, W = x.shape[1], x.shape[2]
         bps0 = enc.bytes_per_symbol
-        mw0, cap0, _, _ = self._mw_cap_for(H, W, bps0)
+        mw0, cap0, _, _, lanes = self._mw_cap_for(H, W, bps0)
         fz = self.force_zero_thres
         x_hat, staging = self._j_compress_frame(
-            self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw0,
+            self.params, x, qp_dev, enc.cum_hl, lanes, mw0,
             enc.n_y_rows, cap0, fz)
         try:
             staging.copy_to_host_async()
@@ -520,9 +524,9 @@ class DMCI:
 
         def finish():
             bps, mw, cap = bps0, mw0, cap0
-            _, _, n_total, k_total = self._mw_cap_for(H, W, bps)
+            _, _, n_total, k_total, _ = self._mw_cap_for(H, W, bps)
             arr = jax.device_get(staging)
-            dense, ln, st = undensify_packed(arr, cap, enc.lanes)
+            dense, ln, st = undensify_packed(arr, cap, lanes)
             for _ in range(8):
                 if int(ln.max(initial=0)) < mw - 2 \
                         and int(ln.sum()) <= cap:
@@ -531,13 +535,13 @@ class DMCI:
                 # rung uses the full rectangle, so the loop terminates)
                 top = bps >= 3.0
                 bps = min(bps * 2, 3.0)
-                mw, cap, n_total, k_total = self._mw_cap_for(
+                mw, cap, n_total, k_total, _ = self._mw_cap_for(
                     H, W, bps, top_rung=top)
                 _, t = self._j_compress_frame(
-                    self.params, x, qp_dev, enc.cum_hl, enc.lanes, mw,
+                    self.params, x, qp_dev, enc.cum_hl, lanes, mw,
                     enc.n_y_rows, cap, fz)
                 dense, ln, st = undensify_packed(jax.device_get(t),
-                                                 cap, enc.lanes)
+                                                 cap, lanes)
             else:
                 raise OverflowError(
                     "device rANS staging overflowed at the top ladder "
@@ -571,10 +575,10 @@ class DMCI:
         enc = self.device_encoder
         H, W = xs.shape[2], xs.shape[3]
         bps = enc.bytes_per_symbol
-        mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
+        mw, cap, n_total, k_total, lanes = self._mw_cap_for(H, W, bps)
         fz = self.force_zero_thres
         x_hats, stagings = self._j_compress_batch(
-            self.params, xs, qps_arr, enc.cum_hl, enc.lanes, mw,
+            self.params, xs, qps_arr, enc.cum_hl, lanes, mw,
             enc.n_y_rows, cap, fz)
         try:
             stagings.copy_to_host_async()
@@ -585,7 +589,7 @@ class DMCI:
             arr = jax.device_get(stagings)  # ONE fetch for B frames
             streams = []
             for i in range(B):
-                dense, ln, st = undensify_packed(arr[i], cap, enc.lanes)
+                dense, ln, st = undensify_packed(arr[i], cap, lanes)
                 if int(ln.max(initial=0)) < mw - 2 \
                         and int(ln.sum()) <= cap:
                     streams.append(serialize_frame_dense(

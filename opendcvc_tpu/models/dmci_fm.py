@@ -347,17 +347,20 @@ class DMCIFM:
         self.entropy_coder.set_use_two_entropy_coders(b)
 
     def _mw_cap_for(self, H, W, bps=None, top_rung=False):
-        lanes = self.device_encoder.lanes
+        from ..entropy.device_rans import effective_lanes
         if bps is None:
             bps = self.device_encoder.bytes_per_symbol
         y_h, y_w = C.get_downsampled_shape(H, W, 16)
         zh, zw = C.get_downsampled_shape(H, W, 64)
         n_y = y_h * y_w * self.N // 4
-        k_total = 4 * (-(-n_y // lanes)) \
-            + (-(-(zh * zw * self.z_channel) // lanes))
+        n_z = zh * zw * self.z_channel
+        # lanes scale with the symbol count (~6 B/lane overhead)
+        lanes = effective_lanes(self.device_encoder.lanes,
+                                4 * n_y + n_z)
+        k_total = 4 * (-(-n_y // lanes)) + (-(-n_z // lanes))
         mw = max(8, int(k_total * bps / 2)) + 4
         cap = lanes * mw if top_rung else max(4096, lanes * mw // 2)
-        return mw, cap, lanes * k_total, k_total
+        return mw, cap, lanes * k_total, k_total, lanes
 
     def _compress_device(self, x, q_index):
         from ..entropy.device_rans import (serialize_frame_dense,
@@ -366,28 +369,28 @@ class DMCIFM:
         H, W = x.shape[1], x.shape[2]
         qp_dev = np.int32(q_index)
         bps = enc.bytes_per_symbol
-        mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps)
+        mw, cap, n_total, k_total, lanes = self._mw_cap_for(H, W, bps)
         x_hat, staging = self._j_compress_frame(
-            self.params, x, qp_dev, enc.cum_hl, self._cfg, enc.lanes,
+            self.params, x, qp_dev, enc.cum_hl, self._cfg, lanes,
             mw, enc.n_y_rows, cap, self.z_channel)
         try:
             staging.copy_to_host_async()
         except Exception:
             pass
         dense, ln, st = undensify_packed(jax.device_get(staging), cap,
-                                         enc.lanes)
+                                         lanes)
         for _ in range(8):
             if int(ln.max(initial=0)) < mw - 2 and int(ln.sum()) <= cap:
                 break
             top = bps >= 3.0
             bps = min(bps * 2, 3.0)
-            mw, cap, n_total, k_total = self._mw_cap_for(H, W, bps,
-                                                         top_rung=top)
+            mw, cap, n_total, k_total, lanes = self._mw_cap_for(
+                H, W, bps, top_rung=top)
             _, staging = self._j_compress_frame(
                 self.params, x, qp_dev, enc.cum_hl, self._cfg,
-                enc.lanes, mw, enc.n_y_rows, cap, self.z_channel)
+                lanes, mw, enc.n_y_rows, cap, self.z_channel)
             dense, ln, st = undensify_packed(jax.device_get(staging),
-                                             cap, enc.lanes)
+                                             cap, lanes)
         else:
             raise OverflowError(
                 "device rANS staging overflowed at the top ladder rung")
