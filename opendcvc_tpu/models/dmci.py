@@ -612,7 +612,7 @@ class DMCI:
         bit stream.  Intra frames are independent, so a caller can keep
         several frames in flight (the reference overlaps coding with
         compute via CUDA streams, image_model.py:163-180)."""
-        if not (self.device_ec and self.force_zero_thres is None):
+        if not self.device_ec:
             raise ValueError("compress_async requires device-EC mode")
         return self._compress_device_async(
             jnp.asarray(x, dtype=self.dtype), np.int32(qp))
