@@ -276,6 +276,49 @@ def test_dmc_device_ec_skip_mode_matches_classic():
     _, _, full_bytes, _ = run(True, None)
     assert d_bytes < full_bytes, (d_bytes, full_bytes)
 
+    # GOP megastage with skip: chunked encode/decode must agree with
+    # the single-frame device path exactly
+    os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
+    try:
+        enc = DMC()
+        enc.init_params(seed=0)
+        enc.update(force_zero_thres=thres)
+        enc.clear_dpb()
+        enc.set_curr_poc(0)
+        enc.add_ref_frame(None, x0)
+        s_first = enc.compress(x1, 21)["bit_stream"]
+        x2 = jnp.asarray(np.clip(np.asarray(x1)
+                                 + rng.normal(0, 0.02, x1.shape)
+                                 .astype(np.float32), 0, 1))
+        x3 = jnp.asarray(np.roll(np.asarray(x2), 2, axis=2))
+        gop = enc.compress_gop([x2, x3], [21, 25])["bit_streams"]
+
+        dec = DMC()
+        dec.load_params(enc.params)
+        dec.update(force_zero_thres=thres)
+        dec.clear_dpb()
+        dec.set_curr_poc(0)
+        dec.add_ref_frame(None, x0)
+        sps = {"sps_id": 0, "height": 64, "width": 64, "ec_part": 0,
+               "use_ada_i": 0}
+        r1 = np.asarray(dec.decompress(s_first, sps, 21)["x_hat"])
+        np.testing.assert_array_equal(r1, d1)
+        out = dec.decompress_gop(gop, sps, [21, 25])["x_hat"]
+
+        dec2 = DMC()
+        dec2.load_params(enc.params)
+        dec2.update(force_zero_thres=thres)
+        dec2.clear_dpb()
+        dec2.set_curr_poc(0)
+        dec2.add_ref_frame(None, x0)
+        dec2.decompress(s_first, sps, 21)
+        for i, (s, q) in enumerate(zip(gop, [21, 25])):
+            np.testing.assert_array_equal(
+                np.asarray(out[i]),
+                np.asarray(dec2.decompress(s, sps, q)["x_hat"]))
+    finally:
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
 
 @pytest.mark.slow
 def test_dmci_device_ec_skip_mode_matches_classic():
