@@ -112,22 +112,29 @@ def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
 
 def train_tiny(out_ckpt, steps=3000, seed=0, crop=96, batch=8,
                lmbda_min=32.0, lmbda_max=4096.0, lr=1e-4,
-               log_every=200):
+               log_every=200, resume_from=None):
     """Deterministically (re)train the committable reduced-channel DMCI
     RD-evidence checkpoint (TINY_KW) on mixed synthetic content with
     the per-QP lambda ladder.  ~minutes on CPU; the resulting msgpack
-    is a few MB and is what tests/test_rate_consistency.py loads."""
+    is a few MB and is what tests/test_rate_consistency.py loads.
+    resume_from continues from an existing checkpoint's params (fresh
+    optimizer state); pass a distinct seed so the data stream
+    differs from the original run."""
     import jax
     import jax.numpy as jnp
     from ..models.dmci import dmci_init
+    from ..models import common as C
     from ..training.train import (make_dmci_loss, make_optimizer,
                                   make_train_step)
     from ..utils import checkpoint as ckpt
 
-    params = jax.jit(lambda k: dmci_init(k, TINY_KW["N"],
-                                         TINY_KW["z_channel"],
-                                         enc_dec_ch=TINY_KW["enc_dec_ch"])
-                     )(jax.random.PRNGKey(seed))
+    if resume_from:
+        params = ckpt.load_checkpoint(resume_from)["params"]
+    else:
+        params = C.run_init(
+            lambda k: dmci_init(k, TINY_KW["N"], TINY_KW["z_channel"],
+                                enc_dec_ch=TINY_KW["enc_dec_ch"]),
+            jax.random.PRNGKey(seed))
     loss_fn = make_dmci_loss(lmbda_min, quant_mode="ste",
                              lmbda_max=lmbda_max)
     tx = make_optimizer(base_lr=lr, schedule="cosine",
@@ -149,10 +156,11 @@ def train_tiny(out_ckpt, steps=3000, seed=0, crop=96, batch=8,
                   f"bpp={float(metrics['bpp']):.4f} "
                   f"mse={float(metrics['mse']):.5f} qp={int(qp)}",
                   flush=True)
-    ckpt.save_params(out_ckpt, params,
-                     extra={"model_kwargs": TINY_KW, "steps": steps,
-                            "seed": seed,
-                            "lmbda": [lmbda_min, lmbda_max]})
+        if (i + 1) % 500 == 0 or i + 1 == steps:
+            ckpt.save_params(out_ckpt, params,
+                             extra={"model_kwargs": TINY_KW,
+                                    "steps": i + 1, "seed": seed,
+                                    "lmbda": [lmbda_min, lmbda_max]})
     return out_ckpt
 
 
