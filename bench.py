@@ -59,7 +59,25 @@ def main():
     from opendcvc_tpu.models import common as CM
     from opendcvc_tpu.ops.fused import replicate_pad
 
+    # a dead device tunnel hangs backend init forever; fail loudly with
+    # a parsable line instead (observed: axon init hung >10 h during an
+    # infra outage, and even JAX_PLATFORMS=cpu processes hang because
+    # the plugin hooks get_backend — hence BENCH_PLATFORM above)
+    import threading
+    _ready = threading.Event()
+
+    def _watchdog():
+        if not _ready.wait(float(os.environ.get("BENCH_INIT_TIMEOUT",
+                                                600))):
+            print(json.dumps({
+                "metric": "1080p_p_frame_enc_dec_fps", "value": 0,
+                "unit": "fps", "vs_baseline": 0,
+                "error": "device backend init timed out"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     platform = jax.devices()[0].platform
+    _ready.set()
     gop_n = int(os.environ.get("BENCH_GOP_N", 8))
     n_frames = int(os.environ.get("BENCH_FRAMES", 32))
     n_frames = max(gop_n, n_frames // gop_n * gop_n)
