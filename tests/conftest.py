@@ -23,6 +23,17 @@ if _PLATFORM == "cpu":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Pin the determinism flag BEFORE this conftest initializes a backend
+# (jax.devices() below).  opendcvc_tpu pins it too, but tests import the
+# package after the backend exists, where the pin can no longer take
+# effect; setting it here keeps the enc/dec bit-exactness contract live
+# for on-hardware gate runs (OPENDCVC_TPU_TEST_PLATFORM=tpu) and
+# silences the package's late-import warning.
+if "xla_allow_excess_precision" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_allow_excess_precision=false").strip()
+
 # persistent compilation cache: repeated test runs skip XLA recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/opendcvc_tpu_jax_cache")
