@@ -356,20 +356,86 @@ def effective_lanes(max_lanes, n_symbols, min_lanes=256,
 #: < channel count <= 128).
 SKIP_ROW = 255
 
-FRAME_MAGIC = 0xD5  # container format/version marker (v5:
-# channel-major symbol-to-lane mapping, models/dmc.py _cm_flat)
+FRAME_MAGIC = 0xD6  # container format/version marker (v6: adds the
+# kyc skip-compaction rung; v5 = channel-major symbol-to-lane mapping,
+# models/dmc.py _cm_flat)
 
 
-def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap):
-    """v5 container from an already-dense (decode-order, lane-major)
+# ---------------------------------------------------------------------------
+# skip-lane compaction (force_zero_thres fast path)
+#
+# The reference's skip mode never codes sub-threshold symbols at all
+# (src/models/entropy_models.py:330-341) — at its recommended eval
+# threshold MOST symbols are skipped, and its decode speed comes from
+# doing proportionally less work.  Zero-rate SKIP_ROW passthrough lanes
+# are bit-exact but still burn a scan step per skipped symbol; these
+# helpers compact the SURVIVING symbols into a fixed L*K_c-slot prefix
+# (K_c the static "compaction rung") so the scans run K_c steps instead
+# of K.  Encoder and decoder derive the identical mapping from the
+# shared keep mask (both sides compute it from the same jitted scale
+# stages), so no side information crosses the link beyond the rung in
+# the container header.  Everything is integer cumsum + scatter — no
+# gathers (XLA:TPU gathers run ~9 ns/element; scatters into dense
+# targets and cumsums stay on the VPU).
+# ---------------------------------------------------------------------------
+
+
+def compact_skip_enc(sym, rows, keep, n_c):
+    """Compact a flat plane's surviving symbols into n_c slots.
+
+    sym/rows/keep: (n,) flat plane in channel-major order; n_c: static
+    slot count (lanes * K_c).  Survivors keep their relative order; tail
+    slots ride SKIP_ROW at zero rate; survivors beyond n_c (overflow)
+    park in a dropped pad slot — the caller re-runs at a larger rung
+    when m > n_c.  Returns (sym_c, rows_c, m)."""
+    k = keep.astype(jnp.int32)
+    idx = jnp.cumsum(k) - k                      # exclusive prefix sum
+    dst = jnp.minimum(jnp.where(keep, idx, n_c), n_c)
+    sym_c = jnp.zeros((n_c + 1,), sym.dtype).at[dst].set(
+        sym, mode="drop")
+    rows_c = jnp.full((n_c + 1,), SKIP_ROW, rows.dtype).at[dst].set(
+        jnp.where(keep, rows, SKIP_ROW), mode="drop")
+    return sym_c[:n_c], rows_c[:n_c], jnp.sum(k)
+
+
+def compact_skip_dec(rows, keep, n_c):
+    """Decoder mirror of compact_skip_enc: compact the survivors' row
+    ids and remember each slot's original position (park = n for tail /
+    overflow slots).  Returns (rows_c (n_c,), orig (n_c,) int32)."""
+    n = rows.shape[0]
+    k = keep.astype(jnp.int32)
+    idx = jnp.cumsum(k) - k
+    dst = jnp.minimum(jnp.where(keep, idx, n_c), n_c)
+    rows_c = jnp.full((n_c + 1,), SKIP_ROW, rows.dtype).at[dst].set(
+        jnp.where(keep, rows, SKIP_ROW), mode="drop")
+    orig = jnp.full((n_c + 1,), n, jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return rows_c[:n_c], orig[:n_c]
+
+
+def expand_compact_syms(sym_c, orig, n):
+    """Scatter decoded compact symbols back to their full-plane
+    positions; skipped positions decode as 0 (the reference decodes
+    skipped symbols as zero, entropy_models.py:330-341)."""
+    out = jnp.zeros((n + 1,), sym_c.dtype).at[orig].set(sym_c,
+                                                        mode="drop")
+    return out[:n]
+
+
+def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap,
+                          kyc=0):
+    """v6 container from an already-dense (decode-order, lane-major)
     word vector.  Layout:
       u8 FRAME_MAGIC | u32 n | u16 L | u16 K | u16 MW | u32 cap |
-      u32 data_len | lens u16*L | states u32*L | dense u16*total
+      u16 kyc | u32 data_len | lens u16*L | states u32*L | dense
+      u16*total
     The magic byte versions the container: streams written by an
     incompatible lane layout / format fail loudly at parse instead of
     mis-decoding.  `cap` records the encoder's dense staging capacity so
     the decoder can rebuild the exact compact staging layout the encoder
-    produced (one static shape per ladder rung)."""
+    produced (one static shape per ladder rung); `kyc` is the
+    skip-compaction rung (steps per lane per compacted y plane; 0 = no
+    compaction)."""
     L = lens.shape[0]
     total = int(lens.sum())
     head = [np.uint8(FRAME_MAGIC).tobytes(),
@@ -377,6 +443,7 @@ def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap):
             np.uint16(L).tobytes(), np.uint16(K).tobytes(),
             np.uint16(MW).tobytes(),
             np.uint32(cap).tobytes(),
+            np.uint16(kyc).tobytes(),
             np.uint32(2 * total).tobytes()]
     return b"".join(head + [lens.astype(np.uint16).tobytes(),
                             states.astype(np.uint32).tobytes(),
@@ -385,14 +452,14 @@ def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap):
 
 
 def parse_frame(stream, offset=0):
-    """Parse one v5 container into the COMPACT device staging vector:
+    """Parse one v6 container into the COMPACT device staging vector:
     [dense words padded to cap | lens (L) | state hi (L) | state lo (L)]
     — exactly the layout densify_segment produced on the encoder, so
     only ~true-bpp bytes cross host->device and the device re-expands
     lanes itself (_undensify_device).
 
     Returns (meta, staging_u16, next_offset); meta carries
-    n/L/K/MW/cap/total."""
+    n/L/K/MW/cap/kyc/total."""
     if stream[offset] != FRAME_MAGIC:
         raise ValueError(
             f"bad container magic 0x{stream[offset]:02x} (expected "
@@ -404,6 +471,7 @@ def parse_frame(stream, offset=0):
     K = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
     mw = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
     cap = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
+    kyc = int(np.frombuffer(stream, np.uint16, 1, off)[0]); off += 2
     dlen = int(np.frombuffer(stream, np.uint32, 1, off)[0]); off += 4
     lens = np.frombuffer(stream, np.uint16, L, off); off += 2 * L
     states = np.frombuffer(stream, np.uint32, L, off); off += 4 * L
@@ -414,7 +482,7 @@ def parse_frame(stream, offset=0):
     staging[cap:cap + L] = lens
     staging[cap + L:cap + 2 * L] = (states >> 16).astype(np.uint16)
     staging[cap + 2 * L:] = (states & 0xFFFF).astype(np.uint16)
-    meta = {"n": n, "L": L, "K": K, "MW": mw, "cap": cap,
+    meta = {"n": n, "L": L, "K": K, "MW": mw, "cap": cap, "kyc": kyc,
             "total": total}
     return meta, staging, off
 

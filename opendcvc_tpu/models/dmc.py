@@ -434,7 +434,8 @@ def _stage_recon_x(p, feature, qp):
 
 
 def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
-                         n_y_rows, cap, use_pallas=False, fz=None):
+                         n_y_rows, cap, use_pallas=False, fz=None,
+                         kyc=0):
     """Encoder megastage body on an already-adapted feature: frame ->
     next ref feature + ONE encoded lane segment (z, y0, y1 coded
     back-to-back per lane with rANS state continuation, so the container
@@ -445,7 +446,8 @@ def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
     Encode order per lane is reversed(y1), reversed(y0), reversed(z) —
     the decoder consumes z, then y0, then y1."""
     from ..entropy.device_rans import (SKIP_ROW, _encode_scan_carry,
-                                       _slice_rows, densify_segment,
+                                       _slice_rows, compact_skip_enc,
+                                       densify_segment,
                                        encode_carry_init)
     x1, ctx_t = _stage_fe_part1(p, feature, qp)
     ctx = _stage_fe_part2(p, x1)
@@ -461,11 +463,23 @@ def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
 
     cum_y = lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
     planes = []  # (flat_sym, flat_rows) in encode order, channel-major
+    m_max = jnp.zeros((), jnp.int32)
     for pk, keep in ((packed1, keep1), (packed0, keep0)):
         flat = _cm_flat(pk).astype(jnp.int32)
         sym, row = flat >> 8, flat & 255
-        if fz is not None:
-            # force-zero skip: sub-threshold positions keep their lane
+        if fz is not None and kyc > 0:
+            # skip-lane COMPACTION: surviving symbols pack into a
+            # lanes*kyc prefix so the y scans run kyc steps instead of
+            # K — device time scales with CODED symbols, matching where
+            # the reference's skip-mode speed comes from
+            # (entropy_models.py:330-341).  The in-graph survivor count
+            # rides the staging tail; the host re-runs at a larger rung
+            # on overflow.
+            sym, row, m = compact_skip_enc(sym, row, _cm_flat(keep),
+                                           lanes * kyc)
+            m_max = jnp.maximum(m_max, m)
+        elif fz is not None:
+            # uncompacted skip: sub-threshold positions keep their lane
             # slot but ride the zero-rate SKIP_ROW (the quantizer
             # already forced their symbol to 0 in process_with_mask)
             kf = _cm_flat(keep)
@@ -502,23 +516,27 @@ def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
                                                  cum_sub, carry)
     # compact + single-transfer: the tunnel link pays latency per array
     # and ~18 MB/s bandwidth, so the frame result is ONE u16 vector of
-    # ~true-bpp size (dense decode-order words + lens + states)
-    return feature_out, densify_segment(buf, cursors, state, cap)
+    # ~true-bpp size (dense decode-order words + lens + states + the
+    # skip-compaction survivor count for overflow detection)
+    staging = densify_segment(buf, cursors, state, cap)
+    m_words = jnp.stack([(m_max >> 16).astype(jnp.uint16),
+                         (m_max & 0xFFFF).astype(jnp.uint16)])
+    return feature_out, jnp.concatenate([staging, m_words])
 
 
 def _compress_frame(p, x, ref, qp, cum_hl, from_feature, lanes, mw,
-                    n_y_rows, cap, use_pallas=False, fz=None):
+                    n_y_rows, cap, use_pallas=False, fz=None, kyc=0):
     """Single-frame encoder megastage (adaptor + core)."""
     if from_feature:
         feature = _stage_adaptor_p(p, ref)
     else:
         feature = _stage_adaptor_i(p, ref)
     return _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
-                                n_y_rows, cap, use_pallas, fz)
+                                n_y_rows, cap, use_pallas, fz, kyc)
 
 
 def _compress_gop(p, xs, feature_in, qps, cum_hl, lanes, mw, n_y_rows,
-                  cap, use_pallas=False, fz=None):
+                  cap, use_pallas=False, fz=None, kyc=0):
     """GOP-batched encoder megastage: N consecutive P-frames in ONE
     compiled program (lax.scan over the frame axis; the propagated
     feature is the scan carry, an in-graph dependency).  The link's
@@ -541,7 +559,7 @@ def _compress_gop(p, xs, feature_in, qps, cum_hl, lanes, mw, n_y_rows,
         f = _stage_adaptor_p(p, feat)
         f_out, seg = _compress_frame_core(p, x, f, qp, cum_hl, lanes,
                                           mw, n_y_rows, cap, use_pallas,
-                                          fz)
+                                          fz, kyc)
         return f_out, (seg, feat)
 
     feat_last, (segs, feats_in) = lax.scan(body, feature_in, (xs, qps))
@@ -550,7 +568,7 @@ def _compress_gop(p, xs, feature_in, qps, cum_hl, lanes, mw, n_y_rows,
 
 def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
                            lanes, n_y_rows, cap, mw, use_pallas=False,
-                           fz=None):
+                           fz=None, kyc=0):
     """Decoder megastage body on an already-adapted feature: compact
     staged lane stream -> next ref feature + reconstructed frame, fully
     on-device (one H2D upload of ~true-bpp bytes, one execution).  The
@@ -559,14 +577,10 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
     stage is the same code the encoder megastage ran, so the temporal
     chain stays bit-identical."""
     from ..entropy.device_rans import (SKIP_ROW, _decode_scan_carry,
-                                       _slice_rows, _undensify_device)
+                                       _slice_rows, _undensify_device,
+                                       compact_skip_dec,
+                                       expand_compact_syms)
     x1, ctx_t = _stage_fe_part1(p, feature, qp)
-
-    def rows_with_skip(idx, keep):
-        rows = _cm_flat(idx).astype(jnp.int32)
-        if fz is None:
-            return rows
-        return jnp.where(_cm_flat(keep), rows, SKIP_ROW)
 
     data, states = _undensify_device(staging, cap, lanes, mw)
     carry = (states.astype(jnp.uint32),
@@ -586,6 +600,20 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
         syms, carry = _decode_scan_carry(data, rows_l, cum, carry)
         return _lane_unlayout(syms, n), carry
 
+    def dec_y_plane(idx, keep, carry):
+        """Decode one y plane: compacted (kyc steps) or full, mirroring
+        the encoder's layout exactly from the shared keep mask."""
+        rows = _cm_flat(idx).astype(jnp.int32)
+        n = rows.shape[0]
+        if fz is not None and kyc > 0:
+            rows_c, orig = compact_skip_dec(rows, _cm_flat(keep),
+                                            lanes * kyc)
+            syms_c, carry = dec_seg(rows_c, cum_y, carry)
+            return expand_compact_syms(syms_c, orig, n), carry
+        if fz is not None:
+            rows = jnp.where(_cm_flat(keep), rows, SKIP_ROW)
+        return dec_seg(rows, cum_y, carry)
+
     c_z = G_CH_Z
     n_z = zh * zw * c_z
     z_rows = _z_rows(n_z, c_z, qp, n_y_rows)
@@ -599,14 +627,13 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
     idx0, keep0 = _stage_dec_index0(params_prior, fz)
     ctx = _stage_fe_part2(p, x1)
     _, ih, iw, ic = idx0.shape
-    n_y = ih * iw * ic
-    y0_syms, carry = dec_seg(rows_with_skip(idx0, keep0), cum_y, carry)
+    y0_syms, carry = dec_y_plane(idx0, keep0, carry)
     y_q_r0 = _cm_unflat(y0_syms, (1, ih, iw, ic)).astype(x1.dtype)
     y_hat_0 = _stage_dec_restore_2x(y_q_r0, params_prior, 0, True)
 
     scales1, means1 = _stage_spatial(p, y_hat_0, params_prior)
     idx1, keep1 = _stage_fold_index_2x(scales1, 1, fz)
-    y1_syms, carry = dec_seg(rows_with_skip(idx1, keep1), cum_y, carry)
+    y1_syms, carry = dec_y_plane(idx1, keep1, carry)
     y_q_r1 = _cm_unflat(y1_syms, (1, ih, iw, ic)).astype(x1.dtype)
     y_hat_1 = _stage_dec_restore_2x(y_q_r1, means1, 1, False)
 
@@ -618,7 +645,7 @@ def _decompress_frame_core(p, staging, feature, qp, cum_hl, zh, zw,
 
 def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature, zh,
                       zw, lanes, n_y_rows, cap, mw, use_pallas=False,
-                      fz=None):
+                      fz=None, kyc=0):
     """Single-frame decoder megastage (adaptor + core)."""
     if from_feature:
         feature = _stage_adaptor_p(p, ref)
@@ -626,12 +653,12 @@ def _decompress_frame(p, staging, ref, qp, cum_hl, from_feature, zh,
         feature = _stage_adaptor_i(p, ref)
     return _decompress_frame_core(p, staging, feature, qp, cum_hl, zh,
                                   zw, lanes, n_y_rows, cap, mw,
-                                  use_pallas, fz)
+                                  use_pallas, fz, kyc)
 
 
 def _decompress_gop(p, stagings, feature_in, qps, cum_hl, zh, zw,
                     lanes, n_y_rows, cap, mw, use_pallas=False,
-                    fz=None):
+                    fz=None, kyc=0):
     """GOP-batched decoder megastage: N frames' compact stagings in ONE
     upload + ONE execution (scan mirror of _compress_gop — the decoder
     runs the exact same shared stage code, so the temporal chain stays
@@ -643,7 +670,7 @@ def _decompress_gop(p, stagings, feature_in, qps, cum_hl, zh, zw,
         f = _stage_adaptor_p(p, feat)
         f_out, x_hat = _decompress_frame_core(
             p, staging, f, qp, cum_hl, zh, zw, lanes, n_y_rows, cap,
-            mw, use_pallas, fz)
+            mw, use_pallas, fz, kyc)
         return f_out, x_hat
 
     feat_last, x_hats = lax.scan(body, feature_in, (stagings, qps))
@@ -705,15 +732,16 @@ class DMC:
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
         self._j_compress_frame = jax.jit(
-            _compress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+            _compress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11,
+                                             12))
         self._j_decompress_frame = jax.jit(
             _decompress_frame, static_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                               12, 13))
+                                               12, 13, 14))
         self._j_compress_gop = jax.jit(
-            _compress_gop, static_argnums=(5, 6, 7, 8, 9, 10))
+            _compress_gop, static_argnums=(5, 6, 7, 8, 9, 10, 11))
         self._j_decompress_gop = jax.jit(
             _decompress_gop, static_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                             12))
+                                             12, 13))
 
     # -- setup ---------------------------------------------------------------
 
@@ -891,11 +919,26 @@ class DMC:
         frac = float(os.environ.get("OPENDCVC_TPU_EC_CAP_FRAC", 0.5))
         return max(4096, int(lanes * mw * frac) // 8 * 8)
 
+    @staticmethod
+    def _kyc_for(k_y, fz):
+        """First-rung skip-compaction steps per lane (0 = off).
+
+        Quantized to multiples of 8 so mixed-content sequences reuse a
+        handful of compiled configs; OPENDCVC_TPU_EC_SKIP_FRAC sets the
+        assumed survivor fraction (the ladder regrows from the in-graph
+        survivor count when a frame beats the assumption)."""
+        if fz is None or os.environ.get(
+                "OPENDCVC_TPU_EC_SKIP_COMPACT", "1") in ("0", "false"):
+            return 0
+        frac = float(os.environ.get("OPENDCVC_TPU_EC_SKIP_FRAC", 0.5))
+        kyc = min(k_y, -(-int(np.ceil(k_y * frac)) // 8) * 8)
+        return max(kyc, min(k_y, 8))
+
     def _plan_device_ec(self, H, W):
         """Static lane-coding plan for a frame size: effective lane
         count (scaled to the symbol count so the ~6 B/lane container
-        overhead stays negligible on small frames), symbol counts, and
-        the first-rung (mw, cap)."""
+        overhead stays negligible on small frames), symbol counts, the
+        skip-compaction rung, and the first-rung (mw, cap)."""
         from ..entropy.device_rans import effective_lanes
         enc = self.device_encoder
         n_y = (H // 16) * (W // 16) * G_CH_Y // 2
@@ -904,36 +947,51 @@ class DMC:
         lanes = effective_lanes(enc.lanes, 2 * n_y + n_z)
         k_y = -(-n_y // lanes)
         k_z = -(-n_z // lanes)
-        k_total = k_z + 2 * k_y
+        kyc = self._kyc_for(k_y, self.force_zero_thres)
+        k_total = k_z + 2 * (kyc if kyc > 0 else k_y)
         n_total = lanes * k_total
         bps = enc.bytes_per_symbol
         _, mw = self._mw_for(n_total, lanes, bps)
         cap = self._cap_for(lanes, mw)
-        return lanes, n_total, k_total, bps, mw, cap
+        return lanes, n_total, k_total, bps, mw, cap, kyc, k_y, k_z
 
     def _finish_one_device(self, arr, lanes, mw, cap, bps, n_total,
-                           k_total, rerun):
+                           k_total, rerun, kyc=0, k_y=0, k_z=0):
         """Overflow-check one fetched compact staging and serialize it;
-        `rerun(mw, cap)` re-executes the frame at a grown rung (XLA scan
-        path: overflow frames are rare and each extra Pallas (mw, cap)
-        config would cost a fresh multi-minute Mosaic compile)."""
+        `rerun(mw, cap, kyc)` re-executes the frame at a grown rung (XLA
+        scan path: overflow frames are rare and each extra Pallas
+        (mw, cap) config would cost a fresh multi-minute Mosaic
+        compile).  Two overflow axes: the staging rectangle (lens too
+        long -> grow bps) and the skip-compaction prefix (survivors
+        m > lanes*kyc -> grow kyc straight to what the in-graph count
+        says the frame needs)."""
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
-        g_mw, g_cap, g_bps = mw, cap, bps
-        dense, ln, st = undensify_packed(arr, g_cap, lanes)
+        g_mw, g_cap, g_bps, g_kyc = mw, cap, bps, kyc
+        g_n_total, g_k_total = n_total, k_total
         for _ in range(8):
-            if int(ln.max(initial=0)) < g_mw - 2 \
-                    and int(ln.sum()) <= g_cap:
-                return serialize_frame_dense(dense, ln, st, n_total,
-                                             k_total, g_mw, g_cap)
-            # rare hard frame: grow staging + dense cap, re-run
+            dense, ln, st = undensify_packed(arr, g_cap, lanes)
+            m_max = (int(arr[g_cap + 3 * lanes]) << 16) \
+                | int(arr[g_cap + 3 * lanes + 1])
+            comp_over = g_kyc > 0 and g_kyc < k_y \
+                and m_max > lanes * g_kyc
+            stage_over = int(ln.max(initial=0)) >= g_mw - 2 \
+                or int(ln.sum()) > g_cap
+            if not comp_over and not stage_over:
+                return serialize_frame_dense(dense, ln, st, g_n_total,
+                                             g_k_total, g_mw, g_cap,
+                                             g_kyc)
+            if comp_over:
+                need = -(-m_max // lanes)
+                g_kyc = min(k_y, -(-max(need, g_kyc * 2) // 8) * 8)
+                g_k_total = k_z + 2 * g_kyc
+                g_n_total = lanes * g_k_total
+            if stage_over:
+                g_bps = min(g_bps * 2, 3.0)
             top = g_bps >= 3.0
-            g_bps = min(g_bps * 2, 3.0)
-            _, g_mw = self._mw_for(n_total, lanes, g_bps)
+            _, g_mw = self._mw_for(g_n_total, lanes, g_bps)
             g_cap = self._cap_for(lanes, g_mw, top_rung=top)
-            t = rerun(g_mw, g_cap)
-            dense, ln, st = undensify_packed(
-                jax.device_get(t), g_cap, lanes)
+            arr = jax.device_get(rerun(g_mw, g_cap, g_kyc))
         raise OverflowError(
             "device rANS staging overflowed at the top ladder rung")
 
@@ -949,17 +1007,17 @@ class DMC:
             else jnp.asarray(self.dpb[0].frame, self.dtype)
 
         H, W = x.shape[1], x.shape[2]
-        lanes, n_total, k_total, bps, mw, cap = \
+        lanes, n_total, k_total, bps, mw, cap, kyc, k_y, k_z = \
             self._plan_device_ec(H, W)
 
         fz = self.force_zero_thres
 
-        def run(mw, cap, use_pallas):
+        def run(mw, cap, kyc, use_pallas):
             return self._j_compress_frame(
                 p, x, ref, qp_dev, enc.cum_hl, from_feature, lanes,
-                mw, enc.n_y_rows, cap, use_pallas, fz)
+                mw, enc.n_y_rows, cap, use_pallas, fz, kyc)
 
-        feature_out, packed = run(mw, cap,
+        feature_out, packed = run(mw, cap, kyc,
                                   _use_pallas_ec() and fz is None)
         try:
             packed.copy_to_host_async()
@@ -970,7 +1028,8 @@ class DMC:
         def finish_device():
             return self._finish_one_device(
                 jax.device_get(packed), lanes, mw, cap, bps, n_total,
-                k_total, lambda m, c: run(m, c, False)[1])
+                k_total, lambda m, c, k: run(m, c, k, False)[1],
+                kyc, k_y, k_z)
 
         return finish_device
 
@@ -996,13 +1055,14 @@ class DMC:
         qps_np = [int(q) for q in qps]
 
         H, W = xs.shape[2], xs.shape[3]
-        lanes, n_total, k_total, bps, mw, cap = \
+        lanes, n_total, k_total, bps, mw, cap, kyc, k_y, k_z = \
             self._plan_device_ec(H, W)
 
         fz = self.force_zero_thres
         feat_last, segs, feats_in = self._j_compress_gop(
             p, xs, self.dpb[0].feature, qps_arr, enc.cum_hl, lanes,
-            mw, enc.n_y_rows, cap, _use_pallas_ec() and fz is None, fz)
+            mw, enc.n_y_rows, cap, _use_pallas_ec() and fz is None, fz,
+            kyc)
         try:
             segs.copy_to_host_async()
         except Exception:
@@ -1014,15 +1074,15 @@ class DMC:
             arr = jax.device_get(segs)
             streams = []
             for i in range(len(frames)):
-                def rerun(m, c, i=i):
+                def rerun(m, c, k, i=i):
                     return self._j_compress_frame(
                         p, jnp.asarray(frames[i], self.dtype),
                         feats_in[i], np.int32(qps_np[i]), enc.cum_hl,
                         True, lanes, m, enc.n_y_rows, c, False,
-                        fz)[1]
+                        fz, k)[1]
                 streams.append(self._finish_one_device(
                     arr[i], lanes, mw, cap, bps, n_total, k_total,
-                    rerun))
+                    rerun, kyc, k_y, k_z))
             return streams
 
         return finish_gop
@@ -1056,7 +1116,7 @@ class DMC:
         feature_out, x_hat = self._j_decompress_frame(
             p, stream_dev, ref, qp_dev, dec.cum_hl, from_feature,
             zh, zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
-            _use_pallas_ec() and fz is None, fz)
+            _use_pallas_ec() and fz is None, fz, m["kyc"])
         self.add_ref_frame(feature_out, x_hat)
         return {"x_hat": x_hat}
 
@@ -1078,7 +1138,8 @@ class DMC:
         dec = self.device_decoder
         parsed = [parse_frame(s) for s in bit_streams]
         metas = [m for m, _, _ in parsed]
-        if len({(m["L"], m["MW"], m["cap"]) for m in metas}) != 1:
+        if len({(m["L"], m["MW"], m["cap"], m["kyc"])
+                for m in metas}) != 1:
             outs = [self.decompress(s, sps, q)["x_hat"]
                     for s, q in zip(bit_streams, qps)]
             return {"x_hat": jnp.stack(outs)}
@@ -1100,7 +1161,8 @@ class DMC:
         from ..entropy.device_rans import parse_frame
         parsed = [parse_frame(s) for s in bit_streams]
         metas = [mm for mm, _, _ in parsed]
-        if len({(mm["L"], mm["MW"], mm["cap"]) for mm in metas}) != 1:
+        if len({(mm["L"], mm["MW"], mm["cap"], mm["kyc"])
+                for mm in metas}) != 1:
             return None
         stagings = jax.device_put(np.stack([st for _, st, _ in parsed]))
         return (metas[0], stagings, len(bit_streams))
@@ -1118,7 +1180,7 @@ class DMC:
         feat_last, x_hats = self._j_decompress_gop(
             p, stagings, self.dpb[0].feature, qps_arr, dec.cum_hl, zh,
             zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
-            _use_pallas_ec() and fz is None, fz)
+            _use_pallas_ec() and fz is None, fz, m["kyc"])
         self.add_ref_frame(feat_last, x_hats[-1], increase_poc=False)
         self.curr_poc += n
         return {"x_hat": x_hats}

@@ -252,9 +252,10 @@ def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
 
 
 def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
-                      fz=None):
+                      fz=None, kyc=0):
     from ..entropy.device_rans import (SKIP_ROW, _encode_scan_carry,
-                                       _slice_rows, densify_segment,
+                                       _slice_rows, compact_skip_enc,
+                                       densify_segment,
                                        encode_carry_init)
     from .dmc import _lane_layout, _cm_flat, _z_rows
     y, z_hat, z_int8 = _stage_enc_front(p, x, qp)
@@ -276,10 +277,17 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
     c_z = z_int8.shape[-1]
     carry = encode_carry_init(lanes, mw)
     cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
+    m_max = jnp.zeros((), jnp.int32)
     for pk, keep in reversed(planes):
         flat = _cm_flat(pk).astype(jnp.int32)
         sym, row = flat >> 8, flat & 255
-        if fz is not None:
+        if fz is not None and kyc > 0:
+            # skip-lane compaction (see models/dmc.py): the four
+            # quadtree passes scan kyc steps each instead of K
+            sym, row, m = compact_skip_enc(sym, row, _cm_flat(keep),
+                                           lanes * kyc)
+            m_max = jnp.maximum(m_max, m)
+        elif fz is not None:
             kf = _cm_flat(keep)
             row = jnp.where(kf, row, SKIP_ROW)
             sym = jnp.where(kf, sym, 0)
@@ -292,14 +300,19 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
                                       n_y_rows + qp * c_z)
     state, cursors, buf = _encode_scan_carry(s_l, rows_local, cum_sub,
                                              carry)
-    return x_hat, densify_segment(buf, cursors, state, cap)
+    staging = densify_segment(buf, cursors, state, cap)
+    m_words = jnp.stack([(m_max >> 16).astype(jnp.uint16),
+                         (m_max & 0xFFFF).astype(jnp.uint16)])
+    return x_hat, jnp.concatenate([staging, m_words])
 
 
 def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
                         z_channel, lanes, n_y_rows, cap, mw, dt_name,
-                        fz=None):
+                        fz=None, kyc=0):
     from ..entropy.device_rans import (SKIP_ROW, _decode_scan_carry,
-                                       _slice_rows, _undensify_device)
+                                       _slice_rows, _undensify_device,
+                                       compact_skip_dec,
+                                       expand_compact_syms)
     from .dmc import (_lane_layout, _lane_unlayout, _cm_flat,
                       _cm_unflat, _z_rows)
     data, states = _undensify_device(staging, cap, lanes, mw)
@@ -326,12 +339,22 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
         _, ih, iw, ic = indexes.shape
         n_y = ih * iw * ic
         idx_cm = _cm_flat(indexes).astype(jnp.int32)
-        if fz is not None:
-            idx_cm = jnp.where(_cm_flat(keep), idx_cm, SKIP_ROW)
-        rows_l, _ = _lane_layout(idx_cm, idx_cm, lanes, False)
-        y_syms, carry = _decode_scan_carry(data, rows_l, cum_y, carry)
-        y_q_r = _cm_unflat(_lane_unlayout(y_syms, n_y),
-                           (1, ih, iw, ic)).astype(means.dtype)
+        if fz is not None and kyc > 0:
+            rows_c, orig = compact_skip_dec(idx_cm, _cm_flat(keep),
+                                            lanes * kyc)
+            rows_l, _ = _lane_layout(rows_c, rows_c, lanes, False)
+            syms_c, carry = _decode_scan_carry(data, rows_l, cum_y,
+                                               carry)
+            y_flat = expand_compact_syms(
+                _lane_unlayout(syms_c, lanes * kyc), orig, n_y)
+        else:
+            if fz is not None:
+                idx_cm = jnp.where(_cm_flat(keep), idx_cm, SKIP_ROW)
+            rows_l, _ = _lane_layout(idx_cm, idx_cm, lanes, False)
+            y_syms, carry = _decode_scan_carry(data, rows_l, cum_y,
+                                               carry)
+            y_flat = _lane_unlayout(y_syms, n_y)
+        y_q_r = _cm_unflat(y_flat, (1, ih, iw, ic)).astype(means.dtype)
         y_hat_so_far = _stage_dec_restore(y_q_r, means, y_hat_so_far, k)
 
     x_hat = _stage_recon(p, y_hat_so_far, q_dec_prior, qp)
@@ -339,7 +362,7 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
 
 
 def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap,
-                      fz=None):
+                      fz=None, kyc=0):
     """Batched intra encode: B independent frames scanned through the
     single-frame megastage — ONE execution + ONE dense D2H for the whole
     batch, so the link's per-transfer latency amortizes over B frames.
@@ -354,14 +377,14 @@ def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap,
     def body(_, xq):
         x, qp = xq
         return 0, _compress_frame_i(p, x, qp, cum_hl, lanes, mw,
-                                    n_y_rows, cap, fz)
+                                    n_y_rows, cap, fz, kyc)
     _, (x_hats, stagings) = lax.scan(body, 0, (xs, qps))
     return x_hats, stagings
 
 
 def _decompress_batch_i(p, stagings, qps, cum_hl, zh, zw, y_h, y_w,
                         z_channel, lanes, n_y_rows, cap, mw, dt_name,
-                        fz=None):
+                        fz=None, kyc=0):
     """Batched intra decode: B compact stagings in ONE upload + ONE
     execution (scan mirror of _compress_batch_i; same B=1 stage shapes
     as the single-frame decoder, so decode is bit-identical regardless
@@ -370,7 +393,7 @@ def _decompress_batch_i(p, stagings, qps, cum_hl, zh, zw, y_h, y_w,
         s, qp = sq
         return 0, _decompress_frame_i(p, s, qp, cum_hl, zh, zw, y_h,
                                       y_w, z_channel, lanes, n_y_rows,
-                                      cap, mw, dt_name, fz)
+                                      cap, mw, dt_name, fz, kyc)
     _, x_hats = lax.scan(body, 0, (stagings, qps))
     return x_hats
 
@@ -409,15 +432,15 @@ class DMCI:
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")
         self._j_compress_frame = jax.jit(
-            _compress_frame_i, static_argnums=(4, 5, 6, 7, 8))
+            _compress_frame_i, static_argnums=(4, 5, 6, 7, 8, 9))
         self._j_decompress_frame = jax.jit(
             _decompress_frame_i,
-            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
         self._j_compress_batch = jax.jit(
-            _compress_batch_i, static_argnums=(4, 5, 6, 7, 8))
+            _compress_batch_i, static_argnums=(4, 5, 6, 7, 8, 9))
         self._j_decompress_batch = jax.jit(
             _decompress_batch_i,
-            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -483,8 +506,9 @@ class DMCI:
 
     # -- compress -----------------------------------------------------------
 
-    def _mw_cap_for(self, H, W, bps=None, top_rung=False):
+    def _mw_cap_for(self, H, W, bps=None, top_rung=False, kyc=None):
         from ..entropy.device_rans import effective_lanes
+        from .dmc import DMC
         if bps is None:
             bps = self.device_encoder.bytes_per_symbol
         y_h, y_w = C.get_downsampled_shape(H, W, 16)
@@ -495,59 +519,80 @@ class DMCI:
         # overhead (~6 B) would otherwise drown small frames
         lanes = effective_lanes(self.device_encoder.lanes,
                                 4 * n_y + n_z)
-        k_total = 4 * (-(-n_y // lanes)) + (-(-n_z // lanes))
+        k_y = -(-n_y // lanes)
+        k_z = -(-n_z // lanes)
+        if kyc is None:
+            kyc = DMC._kyc_for(k_y, self.force_zero_thres)
+        k_total = 4 * (kyc if kyc > 0 else k_y) + k_z
         mw = max(8, int(k_total * bps / 2)) + 4
         # top rung: full rectangle (each symbol emits at most one word,
         # so lanes*mw always fits and the regrow ladder terminates)
         cap = lanes * mw if top_rung else max(4096, lanes * mw // 2)
-        return mw, cap, lanes * k_total, k_total, lanes
+        return mw, cap, lanes * k_total, k_total, lanes, kyc, k_y, k_z
+
+    def _finish_one_device_i(self, arr, H, W, lanes, mw, cap, bps, kyc,
+                             k_y, k_z, rerun):
+        """Overflow-check + serialize one fetched intra staging (same
+        two-axis regrow ladder as DMC._finish_one_device: staging
+        rectangle via bps, skip-compaction prefix via the in-graph
+        survivor count riding the staging tail)."""
+        from ..entropy.device_rans import (serialize_frame_dense,
+                                           undensify_packed)
+        g_mw, g_cap, g_bps, g_kyc = mw, cap, bps, kyc
+        _, _, g_n_total, g_k_total, _, _, _, _ = self._mw_cap_for(
+            H, W, g_bps, kyc=g_kyc)
+        for _ in range(8):
+            dense, ln, st = undensify_packed(arr, g_cap, lanes)
+            m_max = (int(arr[g_cap + 3 * lanes]) << 16) \
+                | int(arr[g_cap + 3 * lanes + 1])
+            comp_over = g_kyc > 0 and g_kyc < k_y \
+                and m_max > lanes * g_kyc
+            stage_over = int(ln.max(initial=0)) >= g_mw - 2 \
+                or int(ln.sum()) > g_cap
+            if not comp_over and not stage_over:
+                return serialize_frame_dense(dense, ln, st, g_n_total,
+                                             g_k_total, g_mw, g_cap,
+                                             g_kyc)
+            if comp_over:
+                need = -(-m_max // lanes)
+                g_kyc = min(k_y, -(-max(need, g_kyc * 2) // 8) * 8)
+            if stage_over:
+                g_bps = min(g_bps * 2, 3.0)
+            top = g_bps >= 3.0
+            g_mw, g_cap, g_n_total, g_k_total, _, _, _, _ = \
+                self._mw_cap_for(H, W, g_bps, top_rung=top, kyc=g_kyc)
+            arr = jax.device_get(rerun(g_mw, g_cap, g_kyc))
+        raise OverflowError(
+            "device rANS staging overflowed at the top ladder rung")
 
     def _compress_device_async(self, x, qp_dev):
         """Device-EC encode: ONE execution + one dense D2H per frame
         (design mirrors DMC, models/dmc.py).  Returns (x_hat, finish):
         frames are independent, so callers can pipeline many frames'
         executions and overlap the fetches."""
-        from ..entropy.device_rans import (serialize_frame_dense,
-                                           undensify_packed)
         enc = self.device_encoder
         H, W = x.shape[1], x.shape[2]
         bps0 = enc.bytes_per_symbol
-        mw0, cap0, _, _, lanes = self._mw_cap_for(H, W, bps0)
+        mw0, cap0, _, _, lanes, kyc, k_y, k_z = self._mw_cap_for(
+            H, W, bps0)
         fz = self.force_zero_thres
         x_hat, staging = self._j_compress_frame(
             self.params, x, qp_dev, enc.cum_hl, lanes, mw0,
-            enc.n_y_rows, cap0, fz)
+            enc.n_y_rows, cap0, fz, kyc)
         try:
             staging.copy_to_host_async()
         except Exception:
             pass
 
+        def rerun(m, c, k):
+            return self._j_compress_frame(
+                self.params, x, qp_dev, enc.cum_hl, lanes, m,
+                enc.n_y_rows, c, fz, k)[1]
+
         def finish():
-            bps, mw, cap = bps0, mw0, cap0
-            _, _, n_total, k_total, _ = self._mw_cap_for(H, W, bps)
-            arr = jax.device_get(staging)
-            dense, ln, st = undensify_packed(arr, cap, lanes)
-            for _ in range(8):
-                if int(ln.max(initial=0)) < mw - 2 \
-                        and int(ln.sum()) <= cap:
-                    break
-                # hard frame: grow the staging ladder and re-run (top
-                # rung uses the full rectangle, so the loop terminates)
-                top = bps >= 3.0
-                bps = min(bps * 2, 3.0)
-                mw, cap, n_total, k_total, _ = self._mw_cap_for(
-                    H, W, bps, top_rung=top)
-                _, t = self._j_compress_frame(
-                    self.params, x, qp_dev, enc.cum_hl, lanes, mw,
-                    enc.n_y_rows, cap, fz)
-                dense, ln, st = undensify_packed(jax.device_get(t),
-                                                 cap, lanes)
-            else:
-                raise OverflowError(
-                    "device rANS staging overflowed at the top ladder "
-                    "rung")
-            return serialize_frame_dense(dense, ln, st, n_total,
-                                         k_total, mw, cap)
+            return self._finish_one_device_i(
+                jax.device_get(staging), H, W, lanes, mw0, cap0, bps0,
+                kyc, k_y, k_z, rerun)
 
         return x_hat, finish
 
@@ -563,8 +608,6 @@ class DMCI:
         the list of B bit streams.  Frames that overflow the staging
         rectangle (rare) re-run through the single-frame regrow
         ladder."""
-        from ..entropy.device_rans import (serialize_frame_dense,
-                                           undensify_packed)
         if not self.device_ec:
             raise ValueError("compress_batch_async requires device-EC")
         xs = jnp.stack([jnp.asarray(x, dtype=self.dtype) for x in xs]) \
@@ -575,11 +618,12 @@ class DMCI:
         enc = self.device_encoder
         H, W = xs.shape[2], xs.shape[3]
         bps = enc.bytes_per_symbol
-        mw, cap, n_total, k_total, lanes = self._mw_cap_for(H, W, bps)
+        mw, cap, n_total, k_total, lanes, kyc, k_y, k_z = \
+            self._mw_cap_for(H, W, bps)
         fz = self.force_zero_thres
         x_hats, stagings = self._j_compress_batch(
             self.params, xs, qps_arr, enc.cum_hl, lanes, mw,
-            enc.n_y_rows, cap, fz)
+            enc.n_y_rows, cap, fz, kyc)
         try:
             stagings.copy_to_host_async()
         except Exception:
@@ -589,15 +633,14 @@ class DMCI:
             arr = jax.device_get(stagings)  # ONE fetch for B frames
             streams = []
             for i in range(B):
-                dense, ln, st = undensify_packed(arr[i], cap, lanes)
-                if int(ln.max(initial=0)) < mw - 2 \
-                        and int(ln.sum()) <= cap:
-                    streams.append(serialize_frame_dense(
-                        dense, ln, st, n_total, k_total, mw, cap))
-                else:  # rare hard frame: single-frame regrow ladder
-                    _, fin = self._compress_device_async(
-                        xs[i], np.int32(qps_list[i]))
-                    streams.append(fin())
+                def rerun(m, c, k, i=i):
+                    return self._j_compress_frame(
+                        self.params, xs[i], np.int32(qps_list[i]),
+                        enc.cum_hl, lanes, m, enc.n_y_rows, c, fz,
+                        k)[1]
+                streams.append(self._finish_one_device_i(
+                    arr[i], H, W, lanes, mw, cap, bps, kyc, k_y, k_z,
+                    rerun))
             return streams
 
         return x_hats, finish
@@ -685,7 +728,8 @@ class DMCI:
         x_hat = self._j_decompress_frame(
             self.params, stream_dev, qp_dev, dec.cum_hl, zh, zw, y_h,
             y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
-            m["MW"], np.dtype(self.dtype).name, self.force_zero_thres)
+            m["MW"], np.dtype(self.dtype).name, self.force_zero_thres,
+            m["kyc"])
         return {"x_hat": x_hat}
 
     def decompress_batch(self, bit_streams, sps, qps):
@@ -705,7 +749,8 @@ class DMCI:
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"],
                                            16)
-        if len({(m["L"], m["MW"], m["cap"]) for m in metas}) != 1:
+        if len({(m["L"], m["MW"], m["cap"], m["kyc"])
+                for m in metas}) != 1:
             xs = [self._decompress_device(s, sps, q)["x_hat"]
                   for s, q in zip(bit_streams, qps_list)]
             return {"x_hat": jnp.stack(xs)}
@@ -715,7 +760,8 @@ class DMCI:
         x_hats = self._j_decompress_batch(
             self.params, stagings, qps_arr, dec.cum_hl, zh, zw, y_h,
             y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
-            m["MW"], np.dtype(self.dtype).name, self.force_zero_thres)
+            m["MW"], np.dtype(self.dtype).name, self.force_zero_thres,
+            m["kyc"])
         return {"x_hat": x_hats}
 
     def decompress(self, bit_stream, sps, qp):

@@ -526,3 +526,98 @@ def test_fm_device_ec_roundtrip_matches_classic():
     # requirement is WITHIN each path's enc/dec pair, asserted above)
     np.testing.assert_allclose(d1, c1, atol=2e-6)
     np.testing.assert_allclose(d2, c2, atol=2e-6)
+
+
+def test_compact_skip_helpers_roundtrip():
+    """compact_skip_enc / compact_skip_dec / expand_compact_syms agree
+    on the survivor mapping and invert exactly (incl. tail SKIP_ROW
+    slots and the overflow park slot)."""
+    from opendcvc_tpu.entropy.device_rans import (
+        SKIP_ROW, compact_skip_enc, compact_skip_dec,
+        expand_compact_syms)
+    rng = np.random.default_rng(3)
+    n, n_c = 500, 256
+    sym = jnp.asarray(rng.integers(-50, 51, n).astype(np.int32))
+    rows = jnp.asarray(rng.integers(0, 100, n).astype(np.int32))
+    keep = jnp.asarray(rng.random(n) < 0.4)
+
+    sym_c, rows_c, m = compact_skip_enc(sym, rows, keep, n_c)
+    m = int(m)
+    assert m == int(np.sum(np.asarray(keep)))
+    assert m <= n_c
+    rows_c_np = np.asarray(rows_c)
+    assert np.all(rows_c_np[m:] == SKIP_ROW)
+    # survivors keep relative order
+    np.testing.assert_array_equal(
+        np.asarray(sym_c)[:m], np.asarray(sym)[np.asarray(keep)])
+    np.testing.assert_array_equal(
+        rows_c_np[:m], np.asarray(rows)[np.asarray(keep)])
+
+    rows_c2, orig = compact_skip_dec(rows, keep, n_c)
+    np.testing.assert_array_equal(np.asarray(rows_c2), rows_c_np)
+    full = expand_compact_syms(sym_c, orig, n)
+    expect = np.where(np.asarray(keep), np.asarray(sym), 0)
+    np.testing.assert_array_equal(np.asarray(full), expect)
+
+    # overflow: more survivors than slots -> extras park (dropped),
+    # count still reports the true total for the regrow ladder
+    sym_c3, _, m3 = compact_skip_enc(sym, rows, keep, 64)
+    assert int(m3) == m and sym_c3.shape[0] == 64
+
+
+@pytest.mark.slow
+def test_dmc_skip_compaction_rung_and_regrow():
+    """With a compaction rung below the full K the stream stays exact
+    vs the classic host skip path, the container records the rung, and
+    a survivor overflow regrows the rung instead of corrupting."""
+    from opendcvc_tpu.models.dmc import DMC
+    from opendcvc_tpu.entropy.device_rans import parse_frame
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.random((1, 96, 96, 3), dtype=np.float32))
+    x1 = jnp.asarray(np.clip(np.asarray(x0)
+                             + rng.normal(0, 0.03, (1, 96, 96, 3))
+                             .astype(np.float32), 0, 1))
+
+    def run(device_ec, fz, frac=None):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
+        if frac is not None:
+            os.environ["OPENDCVC_TPU_EC_SKIP_FRAC"] = str(frac)
+        try:
+            enc = DMC()
+            enc.init_params(seed=0)
+            enc.update(force_zero_thres=fz)
+            enc.clear_dpb()
+            enc.set_curr_poc(0)
+            enc.add_ref_frame(None, x0)
+            s = enc.compress(x1, 21)["bit_stream"]
+            dec = DMC()
+            dec.load_params(enc.params)
+            dec.update(force_zero_thres=fz)
+            dec.clear_dpb()
+            dec.set_curr_poc(0)
+            dec.add_ref_frame(None, x0)
+            sps = {"sps_id": 0, "height": 96, "width": 96, "ec_part": 0,
+                   "use_ada_i": 0}
+            r = dec.decompress(s, sps, 21)["x_hat"]
+            return s, np.asarray(r), \
+                np.asarray(dec.dpb[0].feature, np.float32)
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+            os.environ.pop("OPENDCVC_TPU_EC_SKIP_FRAC", None)
+
+    # 96x96: k_y = 9; frac 0.25 -> first rung kyc=8 < k_y
+    s_dev, r_dev, f_dev = run(True, 0.3, frac=0.25)
+    m = parse_frame(s_dev)[0]
+    assert 0 < m["kyc"] < 9, m
+    _, r_cls, f_cls = run(False, 0.3)
+    np.testing.assert_array_equal(r_dev, r_cls)
+    np.testing.assert_array_equal(f_dev, f_cls)
+
+    # near-zero threshold keeps ~every symbol: survivors overflow the
+    # first rung (8 steps), the in-graph count pushes the ladder to the
+    # full K (9), and the stream still decodes exactly
+    s_ov, r_ov, f_ov = run(True, 1e-6, frac=0.01)
+    assert parse_frame(s_ov)[0]["kyc"] == 9
+    _, r_cls2, f_cls2 = run(False, 1e-6)
+    np.testing.assert_array_equal(r_ov, r_cls2)
+    np.testing.assert_array_equal(f_ov, f_cls2)
