@@ -25,7 +25,10 @@ Env overrides:
   1080/1920), BENCH_DTYPE (float32|bfloat16, default bfloat16 on tpu
   else float32), BENCH_Q_SCALE (default 0.25), BENCH_DECODE=0 to skip
   the decode half, BENCH_INTRA=0 to skip the intra half,
-  BENCH_INTRA_FRAMES (default 8).
+  BENCH_INTRA_FRAMES (default 8), BENCH_FZ (force_zero_thres; default
+  0.12 matching the reference's recommended eval command,
+  reference README.md:166 — skipped symbols ride the compacted lanes;
+  negative disables).
 """
 
 import glob
@@ -181,6 +184,8 @@ def main():
         "BENCH_DTYPE", "bfloat16" if platform == "tpu" else "float32")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     qp = 21
+    fz = float(os.environ.get("BENCH_FZ", 0.12))
+    fz = None if fz < 0 else fz
 
     i_net = DMCI(dtype=dtype)
     i_net.init_params(seed=0)
@@ -193,7 +198,7 @@ def main():
     q_scale_i = float(os.environ.get("BENCH_Q_SCALE_I", 0.2))
     i_net.params["q_scale_enc"] = jnp.ones_like(q) * q_scale_i
     i_net.params["q_scale_dec"] = jnp.ones_like(q)
-    i_net.update()
+    i_net.update(force_zero_thres=fz)
     p_net = DMC(dtype=dtype)
     p_net.init_params(seed=1)
     # moderate symbol magnitudes for the entropy-coding load
@@ -201,7 +206,7 @@ def main():
     p_net.params["q_encoder"] = jnp.ones_like(
         p_net.params["q_encoder"]) * q_scale
     p_net.params["q_decoder"] = jnp.ones_like(p_net.params["q_decoder"])
-    p_net.update()
+    p_net.update(force_zero_thres=fz)
 
     pr, pb = CM.get_padding_size(height, width, 16)
     use_two = height * width > 1280 * 720
@@ -259,7 +264,7 @@ def main():
     if os.environ.get("BENCH_DECODE", "1") not in ("0", "false"):
         d_net = DMC(dtype=dtype)
         d_net.load_params(p_net.params)
-        d_net.update()
+        d_net.update(force_zero_thres=fz)
         d_net.set_use_two_entropy_coders(use_two)
         sps = {"sps_id": 0, "height": height, "width": width,
                "ec_part": 1 if use_two else 0, "use_ada_i": 0}
@@ -319,7 +324,7 @@ def main():
 
         i_dec = DMCI(dtype=dtype)
         i_dec.load_params(i_net.params)
-        i_dec.update()
+        i_dec.update(force_zero_thres=fz)
         i_sps = {"sps_id": 0, "height": height, "width": width,
                  "ec_part": 1 if use_two else 0, "use_ada_i": 0}
         i_dec.decompress_batch(i_streams, i_sps, qp)  # warm

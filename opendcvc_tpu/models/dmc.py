@@ -496,15 +496,27 @@ def _compress_frame_core(p, x, feature, qp, cum_hl, lanes, mw,
     if use_pallas:
         # one fused VMEM-resident scan over all three planes (local z
         # rows offset into a per-frame combined table), built directly
-        # in the kernel's native step-major layout
-        from ..ops.pallas_rans import encode_scan_pallas
+        # in the kernel's native step-major layout.  The operand is ONE
+        # packed (K, L) int32 — (sym+128)<<8 | row — so the custom-call
+        # boundary materializes half the bytes; skip/compaction rows
+        # (SKIP_ROW) pass through at zero rate inside the kernel.
+        from ..ops.pallas_rans import (encode_scan_pallas_packed,
+                                       ENC_ROW_BITS, ENC_SKIP)
         cum_comb = jnp.concatenate([cum_y, cum_sub], axis=0)
-        pieces = [_lane_layout_t(s, r, lanes, True) for s, r in
-                  planes + [(z_sym, z_rows_local + n_y_rows)]]
-        sym_all = jnp.concatenate([p[0] for p in pieces], axis=0)
-        rows_all = jnp.concatenate([p[1] for p in pieces], axis=0)
-        buf, cursors, state = encode_scan_pallas(sym_all, rows_all,
-                                                 cum_comb, mw)
+        # remap the y planes' 8-bit SKIP_ROW sentinel to the packed
+        # form's 9-bit ENC_SKIP (the combined table reaches 256 rows,
+        # where an 8-bit sentinel would collide with z channel 127)
+        pieces = [_lane_layout_t(s, jnp.where(r == SKIP_ROW, ENC_SKIP, r),
+                                 lanes, True) for s, r in planes]
+        # offset z rows AFTER layout so the pad slots land on the z
+        # subtable's row 0 (global n_y_rows) exactly like the XLA
+        # chain's per-plane padding, not on y row 0
+        zs, zr = _lane_layout_t(z_sym, z_rows_local, lanes, True)
+        pieces.append((zs, zr + n_y_rows))
+        packed_all = jnp.concatenate(
+            [((s + 128) << ENC_ROW_BITS) | r for s, r in pieces], axis=0)
+        buf, cursors, state = encode_scan_pallas_packed(packed_all,
+                                                        cum_comb, mw)
         buf = buf.astype(jnp.int32)
     else:
         carry = encode_carry_init(lanes, mw)
@@ -1018,7 +1030,7 @@ class DMC:
                 mw, enc.n_y_rows, cap, use_pallas, fz, kyc)
 
         feature_out, packed = run(mw, cap, kyc,
-                                  _use_pallas_ec() and fz is None)
+                                  _use_pallas_ec())
         try:
             packed.copy_to_host_async()
         except Exception:
@@ -1061,7 +1073,7 @@ class DMC:
         fz = self.force_zero_thres
         feat_last, segs, feats_in = self._j_compress_gop(
             p, xs, self.dpb[0].feature, qps_arr, enc.cum_hl, lanes,
-            mw, enc.n_y_rows, cap, _use_pallas_ec() and fz is None, fz,
+            mw, enc.n_y_rows, cap, _use_pallas_ec(), fz,
             kyc)
         try:
             segs.copy_to_host_async()
@@ -1116,7 +1128,7 @@ class DMC:
         feature_out, x_hat = self._j_decompress_frame(
             p, stream_dev, ref, qp_dev, dec.cum_hl, from_feature,
             zh, zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
-            _use_pallas_ec() and fz is None, fz, m["kyc"])
+            _use_pallas_ec(), fz, m["kyc"])
         self.add_ref_frame(feature_out, x_hat)
         return {"x_hat": x_hat}
 
@@ -1180,7 +1192,7 @@ class DMC:
         feat_last, x_hats = self._j_decompress_gop(
             p, stagings, self.dpb[0].feature, qps_arr, dec.cum_hl, zh,
             zw, m["L"], dec.n_y_rows, m["cap"], m["MW"],
-            _use_pallas_ec() and fz is None, fz, m["kyc"])
+            _use_pallas_ec(), fz, m["kyc"])
         self.add_ref_frame(feat_last, x_hats[-1], increase_poc=False)
         self.curr_poc += n
         return {"x_hat": x_hats}

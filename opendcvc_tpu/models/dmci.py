@@ -30,6 +30,7 @@ from ..entropy.coder import EntropyCoder
 from ..entropy.models import (BitEstimator, GaussianEncoder,
                               bit_estimator_init)
 from . import common as C
+from .dmc import _use_pallas_ec
 
 G_CH_SRC = 3 * 8 * 8
 G_CH_ENC_DEC = 368
@@ -252,12 +253,12 @@ def _stage_recon(p, y_hat_so_far, q_dec_prior, qp):
 
 
 def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
-                      fz=None, kyc=0):
+                      fz=None, kyc=0, use_pallas=False):
     from ..entropy.device_rans import (SKIP_ROW, _encode_scan_carry,
                                        _slice_rows, compact_skip_enc,
                                        densify_segment,
                                        encode_carry_init)
-    from .dmc import _lane_layout, _cm_flat, _z_rows
+    from .dmc import _lane_layout, _lane_layout_t, _cm_flat, _z_rows
     y, z_hat, z_int8 = _stage_enc_front(p, x, qp)
     y_h, y_w = y.shape[1], y.shape[2]
     q_enc, q_dec_prior, scales, means, reduced = _stage_prior(
@@ -275,9 +276,9 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
     x_hat = _stage_recon(p, so_far, q_dec_prior, qp)
 
     c_z = z_int8.shape[-1]
-    carry = encode_carry_init(lanes, mw)
     cum_y = jax.lax.slice(cum_hl, (0, 0), (n_y_rows, cum_hl.shape[1]))
     m_max = jnp.zeros((), jnp.int32)
+    flat_planes = []  # (sym, row) flats in ENCODE order (y3..y0)
     for pk, keep in reversed(planes):
         flat = _cm_flat(pk).astype(jnp.int32)
         sym, row = flat >> 8, flat & 255
@@ -291,15 +292,41 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
             kf = _cm_flat(keep)
             row = jnp.where(kf, row, SKIP_ROW)
             sym = jnp.where(kf, sym, 0)
-        s_l, r_l = _lane_layout(sym, row, lanes, True)
-        carry = _encode_scan_carry(s_l, r_l, cum_y, carry)
+        flat_planes.append((sym, row))
     z_sym = _cm_flat(z_int8).astype(jnp.int32)
     z_rows = _z_rows(z_sym.shape[0], c_z, qp, n_y_rows)
-    s_l, r_l = _lane_layout(z_sym, z_rows, lanes, True)
-    cum_sub, rows_local = _slice_rows(cum_hl, r_l, c_z,
-                                      n_y_rows + qp * c_z)
-    state, cursors, buf = _encode_scan_carry(s_l, rows_local, cum_sub,
-                                             carry)
+
+    if use_pallas:
+        # one fused VMEM-resident kernel over all five planes (see
+        # models/dmc.py's use_pallas block for the packing contract)
+        from ..ops.pallas_rans import (encode_scan_pallas_packed,
+                                       ENC_ROW_BITS, ENC_SKIP)
+        zs_t, zr_t = _lane_layout_t(
+            z_sym, jnp.clip(z_rows - (n_y_rows + qp * c_z), 0, c_z - 1),
+            lanes, True)
+        cum_sub = jax.lax.dynamic_slice(
+            cum_hl, (n_y_rows + qp * c_z, 0), (c_z, cum_hl.shape[1]))
+        cum_comb = jnp.concatenate([cum_y, cum_sub], axis=0)
+        pieces = [_lane_layout_t(s, jnp.where(r == SKIP_ROW, ENC_SKIP,
+                                              r), lanes, True)
+                  for s, r in flat_planes]
+        pieces.append((zs_t, zr_t + n_y_rows))
+        packed_all = jnp.concatenate(
+            [((s + 128) << ENC_ROW_BITS) | r for s, r in pieces],
+            axis=0)
+        buf, cursors, state = encode_scan_pallas_packed(packed_all,
+                                                        cum_comb, mw)
+        buf = buf.astype(jnp.int32)
+    else:
+        carry = encode_carry_init(lanes, mw)
+        for sym, row in flat_planes:
+            s_l, r_l = _lane_layout(sym, row, lanes, True)
+            carry = _encode_scan_carry(s_l, r_l, cum_y, carry)
+        s_l, r_l = _lane_layout(z_sym, z_rows, lanes, True)
+        cum_sub, rows_local = _slice_rows(cum_hl, r_l, c_z,
+                                          n_y_rows + qp * c_z)
+        state, cursors, buf = _encode_scan_carry(s_l, rows_local,
+                                                 cum_sub, carry)
     staging = densify_segment(buf, cursors, state, cap)
     m_words = jnp.stack([(m_max >> 16).astype(jnp.uint16),
                          (m_max & 0xFFFF).astype(jnp.uint16)])
@@ -308,23 +335,36 @@ def _compress_frame_i(p, x, qp, cum_hl, lanes, mw, n_y_rows, cap,
 
 def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
                         z_channel, lanes, n_y_rows, cap, mw, dt_name,
-                        fz=None, kyc=0):
+                        fz=None, kyc=0, use_pallas=False):
     from ..entropy.device_rans import (SKIP_ROW, _decode_scan_carry,
                                        _slice_rows, _undensify_device,
                                        compact_skip_dec,
                                        expand_compact_syms)
-    from .dmc import (_lane_layout, _lane_unlayout, _cm_flat,
-                      _cm_unflat, _z_rows)
+    from .dmc import (_lane_layout, _lane_layout_t, _lane_unlayout,
+                      _lane_unlayout_t, _cm_flat, _cm_unflat, _z_rows)
     data, states = _undensify_device(staging, cap, lanes, mw)
     carry = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
 
+    def dec_seg(rows_flat, cum, carry):
+        """Decode one plane from FLAT (local) row ids."""
+        n = rows_flat.shape[0]
+        if use_pallas:
+            from ..ops.pallas_rans import decode_scan_pallas
+            rows_t, _ = _lane_layout_t(rows_flat, rows_flat, lanes,
+                                       False)
+            syms_t, st, ptr = decode_scan_pallas(
+                data, rows_t, rows_t.shape[0], cum, carry[0], carry[1])
+            return _lane_unlayout_t(syms_t, n), (st, ptr)
+        rows_l, _ = _lane_layout(rows_flat, rows_flat, lanes, False)
+        syms, carry = _decode_scan_carry(data, rows_l, cum, carry)
+        return _lane_unlayout(syms, n), carry
+
     n_z = zh * zw * z_channel
     z_rows = _z_rows(n_z, z_channel, qp, n_y_rows)
-    rows_l, _ = _lane_layout(z_rows, z_rows, lanes, False)
-    cum_sub, rows_local = _slice_rows(cum_hl, rows_l, z_channel,
-                                      n_y_rows + qp * z_channel)
-    z_syms, carry = _decode_scan_carry(data, rows_local, cum_sub, carry)
-    z_hat = _cm_unflat(_lane_unlayout(z_syms, n_z),
+    cum_sub, z_rows_local = _slice_rows(cum_hl, z_rows, z_channel,
+                                        n_y_rows + qp * z_channel)
+    z_flat, carry = dec_seg(z_rows_local, cum_sub, carry)
+    z_hat = _cm_unflat(z_flat,
                        (1, zh, zw, z_channel)).astype(jnp.dtype(dt_name))
 
     _, q_dec_prior, scales, means, reduced = _stage_prior(
@@ -342,18 +382,12 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
         if fz is not None and kyc > 0:
             rows_c, orig = compact_skip_dec(idx_cm, _cm_flat(keep),
                                             lanes * kyc)
-            rows_l, _ = _lane_layout(rows_c, rows_c, lanes, False)
-            syms_c, carry = _decode_scan_carry(data, rows_l, cum_y,
-                                               carry)
-            y_flat = expand_compact_syms(
-                _lane_unlayout(syms_c, lanes * kyc), orig, n_y)
+            syms_c, carry = dec_seg(rows_c, cum_y, carry)
+            y_flat = expand_compact_syms(syms_c, orig, n_y)
         else:
             if fz is not None:
                 idx_cm = jnp.where(_cm_flat(keep), idx_cm, SKIP_ROW)
-            rows_l, _ = _lane_layout(idx_cm, idx_cm, lanes, False)
-            y_syms, carry = _decode_scan_carry(data, rows_l, cum_y,
-                                               carry)
-            y_flat = _lane_unlayout(y_syms, n_y)
+            y_flat, carry = dec_seg(idx_cm, cum_y, carry)
         y_q_r = _cm_unflat(y_flat, (1, ih, iw, ic)).astype(means.dtype)
         y_hat_so_far = _stage_dec_restore(y_q_r, means, y_hat_so_far, k)
 
@@ -362,7 +396,7 @@ def _decompress_frame_i(p, staging, qp, cum_hl, zh, zw, y_h, y_w,
 
 
 def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap,
-                      fz=None, kyc=0):
+                      fz=None, kyc=0, use_pallas=False):
     """Batched intra encode: B independent frames scanned through the
     single-frame megastage — ONE execution + ONE dense D2H for the whole
     batch, so the link's per-transfer latency amortizes over B frames.
@@ -377,14 +411,14 @@ def _compress_batch_i(p, xs, qps, cum_hl, lanes, mw, n_y_rows, cap,
     def body(_, xq):
         x, qp = xq
         return 0, _compress_frame_i(p, x, qp, cum_hl, lanes, mw,
-                                    n_y_rows, cap, fz, kyc)
+                                    n_y_rows, cap, fz, kyc, use_pallas)
     _, (x_hats, stagings) = lax.scan(body, 0, (xs, qps))
     return x_hats, stagings
 
 
 def _decompress_batch_i(p, stagings, qps, cum_hl, zh, zw, y_h, y_w,
                         z_channel, lanes, n_y_rows, cap, mw, dt_name,
-                        fz=None, kyc=0):
+                        fz=None, kyc=0, use_pallas=False):
     """Batched intra decode: B compact stagings in ONE upload + ONE
     execution (scan mirror of _compress_batch_i; same B=1 stage shapes
     as the single-frame decoder, so decode is bit-identical regardless
@@ -393,7 +427,8 @@ def _decompress_batch_i(p, stagings, qps, cum_hl, zh, zw, y_h, y_w,
         s, qp = sq
         return 0, _decompress_frame_i(p, s, qp, cum_hl, zh, zw, y_h,
                                       y_w, z_channel, lanes, n_y_rows,
-                                      cap, mw, dt_name, fz, kyc)
+                                      cap, mw, dt_name, fz, kyc,
+                                      use_pallas)
     _, x_hats = lax.scan(body, 0, (stagings, qps))
     return x_hats
 
@@ -432,15 +467,17 @@ class DMCI:
         self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
             not in ("0", "false", "False")
         self._j_compress_frame = jax.jit(
-            _compress_frame_i, static_argnums=(4, 5, 6, 7, 8, 9))
+            _compress_frame_i, static_argnums=(4, 5, 6, 7, 8, 9, 10))
         self._j_decompress_frame = jax.jit(
             _decompress_frame_i,
-            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                            16))
         self._j_compress_batch = jax.jit(
-            _compress_batch_i, static_argnums=(4, 5, 6, 7, 8, 9))
+            _compress_batch_i, static_argnums=(4, 5, 6, 7, 8, 9, 10))
         self._j_decompress_batch = jax.jit(
             _decompress_batch_i,
-            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
+            static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                            16))
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -578,7 +615,7 @@ class DMCI:
         fz = self.force_zero_thres
         x_hat, staging = self._j_compress_frame(
             self.params, x, qp_dev, enc.cum_hl, lanes, mw0,
-            enc.n_y_rows, cap0, fz, kyc)
+            enc.n_y_rows, cap0, fz, kyc, _use_pallas_ec())
         try:
             staging.copy_to_host_async()
         except Exception:
@@ -587,7 +624,7 @@ class DMCI:
         def rerun(m, c, k):
             return self._j_compress_frame(
                 self.params, x, qp_dev, enc.cum_hl, lanes, m,
-                enc.n_y_rows, c, fz, k)[1]
+                enc.n_y_rows, c, fz, k, _use_pallas_ec())[1]
 
         def finish():
             return self._finish_one_device_i(
@@ -623,7 +660,7 @@ class DMCI:
         fz = self.force_zero_thres
         x_hats, stagings = self._j_compress_batch(
             self.params, xs, qps_arr, enc.cum_hl, lanes, mw,
-            enc.n_y_rows, cap, fz, kyc)
+            enc.n_y_rows, cap, fz, kyc, _use_pallas_ec())
         try:
             stagings.copy_to_host_async()
         except Exception:
@@ -637,7 +674,7 @@ class DMCI:
                     return self._j_compress_frame(
                         self.params, xs[i], np.int32(qps_list[i]),
                         enc.cum_hl, lanes, m, enc.n_y_rows, c, fz,
-                        k)[1]
+                        k, _use_pallas_ec())[1]
                 streams.append(self._finish_one_device_i(
                     arr[i], H, W, lanes, mw, cap, bps, kyc, k_y, k_z,
                     rerun))
@@ -729,7 +766,7 @@ class DMCI:
             self.params, stream_dev, qp_dev, dec.cum_hl, zh, zw, y_h,
             y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
             m["MW"], np.dtype(self.dtype).name, self.force_zero_thres,
-            m["kyc"])
+            m["kyc"], _use_pallas_ec())
         return {"x_hat": x_hat}
 
     def decompress_batch(self, bit_streams, sps, qps):
@@ -761,7 +798,7 @@ class DMCI:
             self.params, stagings, qps_arr, dec.cum_hl, zh, zw, y_h,
             y_w, self.z_channel, m["L"], dec.n_y_rows, m["cap"],
             m["MW"], np.dtype(self.dtype).name, self.force_zero_thres,
-            m["kyc"])
+            m["kyc"], _use_pallas_ec())
         return {"x_hat": x_hats}
 
     def decompress(self, bit_stream, sps, qp):

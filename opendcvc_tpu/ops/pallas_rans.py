@@ -33,6 +33,7 @@ byte-identical streams; tests cross-check them.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,32 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 SUB = 8  # symbols per grid step (sublane block of the (K, L) inputs)
+
+#: sentinel local row id for force_zero_thres-skipped symbols — the
+#: kernels pass these through at zero rate (no emission, no state
+#: change), mirroring device_rans.SKIP_ROW semantics.  Kept as a copy
+#: (not an import) so the kernel module has no package-load
+#: dependencies; test_device_rans cross-checks the two constants.
+SKIP_ROW = 255
+
+#: the PACKED encode operand carries rows in a 9-bit field (combined
+#: per-frame tables can reach 256 rows — e.g. DMC's 128 y + 128 z —
+#: where an 8-bit sentinel would collide with a real row id), so its
+#: skip sentinel is the 9-bit maximum.
+ENC_ROW_BITS = 9
+ENC_ROW_MASK = (1 << ENC_ROW_BITS) - 1
+ENC_SKIP = ENC_ROW_MASK
+
+
+def _interpret():
+    """OPENDCVC_TPU_PALLAS_INTERPRET=1 runs the kernels in the TPU
+    Pallas interpreter — Mosaic has no CPU lowering, but interpret mode
+    lets the CPU test gate exercise the kernel logic bit-for-bit.
+    Returns an InterpretParams (truthy) or False (the plain bool enables
+    the generic HLO interpreter, which lacks program_id on CPU)."""
+    if os.environ.get("OPENDCVC_TPU_PALLAS_INTERPRET") in ("1", "true"):
+        return pltpu.InterpretParams()
+    return False
 
 
 def _round_up(v, m):
@@ -68,12 +95,17 @@ def _tables_from_cum(cum_hl):
     return t.astype(jnp.bfloat16), nrp
 
 
-def _enc_kernel(sym_ref, rows_ref, t_ref,
+def _enc_kernel(packed_ref, t_ref,
                 buf_ref, lens_ref, shi_ref, slo_ref,
                 hi_s, lo_s, cur_s, buf_s, *, k_total, lanes, nrp, mwp):
     """Grid step g processes SUB symbols (sublane rows g*SUB..g*SUB+7)
-    for every lane.  Scratch (persisting across the sequential grid):
-    hi/lo/cur (1, L) int32; buf (mwp, L) int32."""
+    for every lane.  The single data operand is PACKED — (sym+128) << 8
+    | local_row — halving the custom call's operand materialization vs
+    separate sym/row arrays.  row == SKIP_ROW is a zero-rate
+    passthrough (state/cursor/staging untouched), mirroring
+    device_rans._encode_scan_carry's force_zero_thres skip lanes.
+    Scratch (persisting across the sequential grid): hi/lo/cur (1, L)
+    int32; buf (mwp, L) int32."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         hi_s[:, :] = jnp.ones((1, lanes), jnp.int32)
@@ -86,16 +118,18 @@ def _enc_kernel(sym_ref, rows_ref, t_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (mwp, lanes), 0)
     subs = jax.lax.broadcasted_iota(jnp.int32, (SUB, lanes), 0)
 
-    sym_blk = sym_ref[:, :]               # (SUB, L) int32 in [0, 256)
-    rows_blk = rows_ref[:, :]             # (SUB, L) int32 local row ids
+    packed_blk = packed_ref[:, :]         # (SUB, L) int32 sym<<8 | row
     t_all = t_ref[:, :]                   # (4*NRp, 256) bf16
 
     def body(j, carry):
         hi, lo, cur, buf = carry
         valid = pl.program_id(0) * SUB + j < k_total
         jsel = subs == j
-        s = jnp.sum(jnp.where(jsel, sym_blk, 0), axis=0, keepdims=True)
-        r = jnp.sum(jnp.where(jsel, rows_blk, 0), axis=0, keepdims=True)
+        pk = jnp.sum(jnp.where(jsel, packed_blk, 0), axis=0,
+                     keepdims=True)
+        s = pk >> ENC_ROW_BITS                           # in [0, 256)
+        r = pk & ENC_ROW_MASK                            # local row id
+        keep = jnp.logical_and(valid, r != ENC_SKIP)     # (1, L)
 
         onehot_b = (bins == s).astype(jnp.bfloat16)      # (256, L)
         onehot_r = nrs == r                              # (NRp, L)
@@ -115,7 +149,7 @@ def _enc_kernel(sym_ref, rows_ref, t_ref,
         freq = jnp.maximum(nxt - start, 1)
 
         # renorm: state = hi*2^16 + lo; emit low 16 bits when hi >= freq
-        emit = hi >= freq
+        emit = (hi >= freq) & keep
         word = lo
         lo = jnp.where(emit, hi, lo)
         hi = jnp.where(emit, 0, hi)
@@ -134,11 +168,10 @@ def _enc_kernel(sym_ref, rows_ref, t_ref,
         q2 = v2 // freq
         rem = v2 - q2 * freq
         q = q1 * 256 + q2
-        hi0, lo0, cur0, buf0 = carry
-        return (jnp.where(valid, q, hi0),
-                jnp.where(valid, rem + start, lo0),
-                jnp.where(valid, cur, cur0),
-                jnp.where(valid, buf, buf0))
+        hi0, lo0, _, _ = carry
+        return (jnp.where(keep, q, hi0),
+                jnp.where(keep, rem + start, lo0),
+                cur, buf)
 
     hi, lo, cur, buf = jax.lax.fori_loop(
         0, SUB, body,
@@ -156,32 +189,35 @@ def _enc_kernel(sym_ref, rows_ref, t_ref,
         slo_ref[:, :] = lo_s[:, :]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def encode_scan_pallas(sym_t, rows_t, cum_hl, mw):
-    """Pallas encode scan over ONE combined segment.
+@functools.partial(jax.jit, static_argnums=(2,))
+def encode_scan_pallas_packed(packed_t, cum_hl, mw):
+    """Pallas encode scan over ONE combined segment, packed operand.
 
-    sym_t: (K, L) int32 symbols in [-128, 127], step-major (encode
-    order along axis 0 — the kernel's native layout: steps on sublanes,
-    lanes on lanes); rows_t: (K, L) int32 LOCAL row ids into cum_hl;
-    cum_hl: (NR, 514) bf16 hi/lo rows; mw: staging width.
-    Returns (buf (L, mw) uint16 emit-order staging, lens (L,) int32,
-    states (L,) uint32) — bit-identical to
+    packed_t: (K, L) int32 with (sym+128) << ENC_ROW_BITS | local_row,
+    step-major (encode order along axis 0 — the kernel's native layout:
+    steps on sublanes, lanes on lanes); local_row == ENC_SKIP rides
+    through at zero rate; cum_hl: (NR, 514) bf16 hi/lo rows; mw:
+    staging width.  Returns (buf (L, mw) uint16 emit-order staging,
+    lens (L,) int32, states (L,) uint32) — bit-identical to
     device_rans._encode_scan_carry from a fresh carry."""
-    K, L = sym_t.shape
+    K, L = packed_t.shape
+    assert cum_hl.shape[0] < ENC_SKIP, \
+        "local row ids must stay below the ENC_SKIP sentinel"
     mwp = _round_up(mw, 8)
     kp = _round_up(K, SUB)
     t_all, nrp = _tables_from_cum(cum_hl)
-    sym_u = jnp.pad((sym_t + 128).astype(jnp.int32), ((0, kp - K), (0, 0)))
-    rows_t = jnp.pad(rows_t.astype(jnp.int32), ((0, kp - K), (0, 0)))
+    # pad steps ride the skip sentinel: zero-rate passthrough
+    pad_val = jnp.int32((128 << ENC_ROW_BITS) | ENC_SKIP)
+    packed_t = jnp.pad(packed_t.astype(jnp.int32),
+                       ((0, kp - K), (0, 0)), constant_values=pad_val)
     n_steps = kp // SUB
 
     buf, lens, shi, slo = pl.pallas_call(
         functools.partial(_enc_kernel, k_total=K, lanes=L, nrp=nrp,
                           mwp=mwp),
         grid=(n_steps,),
+        interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((SUB, L), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * nrp, 256), lambda i: (0, 0),
@@ -209,10 +245,23 @@ def encode_scan_pallas(sym_t, rows_t, cum_hl, mw):
             pltpu.VMEM((1, L), jnp.int32),
             pltpu.VMEM((mwp, L), jnp.int32),
         ],
-    )(sym_u, rows_t, t_all)
+    )(packed_t, t_all)
 
     states = (shi[0].astype(jnp.uint32) << 16) | slo[0].astype(jnp.uint32)
     return buf[:mw].T.astype(jnp.uint16), lens[0], states
+
+
+def encode_scan_pallas(sym_t, rows_t, cum_hl, mw):
+    """Convenience wrapper: separate sym/row operands -> packed form.
+    rows use the 8-bit SKIP_ROW (255) sentinel convention of the XLA
+    scans, so the table must stay below 255 rows for 255 to be
+    unambiguous; callers with larger combined tables pack ENC_SKIP
+    themselves (see models/dmc._compress_frame_core)."""
+    assert cum_hl.shape[0] < SKIP_ROW
+    rows9 = jnp.where(rows_t == SKIP_ROW, ENC_SKIP,
+                      rows_t.astype(jnp.int32))
+    packed = ((sym_t.astype(jnp.int32) + 128) << ENC_ROW_BITS) | rows9
+    return encode_scan_pallas_packed(packed, cum_hl, mw)
 
 
 def _dec_kernel(rows_ref, data_ref, t_ref, shi_ref, slo_ref, ptr_ref,
@@ -247,6 +296,8 @@ def _dec_kernel(rows_ref, data_ref, t_ref, shi_ref, slo_ref, ptr_ref,
         valid = pl.program_id(0) * SUB + j < k_total
         jsel = subs == j
         r = jnp.sum(jnp.where(jsel, rows_blk, 0), axis=0, keepdims=True)
+        # SKIP_ROW: zero-rate passthrough — decode 0, state/ptr untouched
+        keep = jnp.logical_and(valid, r != SKIP_ROW)     # (1, L)
         onehot_r = (nrs == r).astype(jnp.bfloat16)       # (NRp, L)
 
         u = jax.lax.dot_general(
@@ -280,12 +331,14 @@ def _dec_kernel(rows_ref, data_ref, t_ref, shi_ref, slo_ref, ptr_ref,
         lo2 = jnp.where(need, word, nlo)
         ptr2 = ptr + need.astype(jnp.int32)
 
-        out2 = jnp.where(jsel, sym - 128, out)
-        hi0, lo0, ptr0, out0 = carry
-        return (jnp.where(valid, hi2, hi0),
-                jnp.where(valid, lo2, lo0),
-                jnp.where(valid, ptr2, ptr0),
-                jnp.where(valid, out2, out0))
+        skip = jnp.logical_not(keep)
+        out2 = jnp.where(jsel & valid,
+                         jnp.where(skip, 0, sym - 128), out)
+        hi0, lo0, ptr0, _ = carry
+        return (jnp.where(keep, hi2, hi0),
+                jnp.where(keep, lo2, lo0),
+                jnp.where(keep, ptr2, ptr0),
+                out2)
 
     hi, lo, ptr, out = jax.lax.fori_loop(
         0, SUB, body,
@@ -330,10 +383,13 @@ def decode_scan_pallas(data, rows_t, k_total, cum_hl, state, ptr):
     bit-identical to device_rans._decode_scan_carry."""
     L, MW = data.shape
     K = k_total
+    assert cum_hl.shape[0] < SKIP_ROW, \
+        "local row ids must stay below the SKIP_ROW sentinel"
     mwp = _round_up(MW, 8)
     kp = _round_up(K, SUB)
     t_all, nrp = _dec_tables_from_cum(cum_hl)
-    rows_t = jnp.pad(rows_t.astype(jnp.int32), ((0, kp - K), (0, 0)))
+    rows_t = jnp.pad(rows_t.astype(jnp.int32), ((0, kp - K), (0, 0)),
+                     constant_values=SKIP_ROW)
     data_t = jnp.pad(data.astype(jnp.int32).T, ((0, mwp - MW), (0, 0)))
     shi = (state >> 16).astype(jnp.int32)[None, :]
     slo = (state & 0xFFFF).astype(jnp.int32)[None, :]
@@ -344,6 +400,7 @@ def decode_scan_pallas(data, rows_t, k_total, cum_hl, state, ptr):
         functools.partial(_dec_kernel, k_total=K, lanes=L, nrp=nrp,
                           mwp=mwp),
         grid=(n_steps,),
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((SUB, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

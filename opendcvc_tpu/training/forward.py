@@ -319,6 +319,106 @@ def dmc_tcm_forward_one_frame(params, x, ref_frame, ref_feature, rng,
             "bpp": bpp_y + bpp_z + bpp_mv_y + bpp_mv_z}
 
 
+# ---------------------------------------------------------------------------
+# DCVC-FM training forward — the family's one-model wide-QP novelty
+# (reference DCVC-FM/src/models/common_model.py:37-52: every quant bank
+# is log-interpolated between LEARNED min/max anchors over 64 QPs, and
+# q_index is a TRACED argument, so a single set of weights trains across
+# the whole rate range; the reference ships no FM trainer — this
+# demonstrates the novelty is trainable in this framework)
+# ---------------------------------------------------------------------------
+
+def _fm_masked_4x(y_div, scales, means, spatial_fn, params_prior):
+    """Four-pass quadtree STE rate/recon shared by FM's mv and y latents
+    (mirrors models/dmc_fm._spatial_pass + prior_stages.pass_core, with
+    the coder's hard round replaced by a straight-through estimator and
+    the table rate replaced by the differentiable Gaussian)."""
+    _, h, w, c = y_div.shape
+    masks = F.checkerboard_masks_4x(h, w, c, y_div.dtype)
+    bits = 0.0
+    so_far = jnp.zeros_like(y_div)
+    for k in range(4):
+        if k > 0:
+            scales, means = spatial_fn(k, so_far, params_prior)
+        mask = masks[k]
+        y_res = (y_div - means * mask) * mask
+        y_q = ste_round(y_res)
+        # price the QUANTIZED residual (see dmci_forward note)
+        so_far = so_far + y_q + means * mask
+        bits = bits + jnp.sum(gaussian_bits(y_q, scales * mask) * mask)
+    return so_far, bits
+
+
+def dmc_fm_forward_one_frame(params, x, ref_frame, ref_feature,
+                             ref_mv_feature, ref_y, ref_mv_y, q_index,
+                             rng, quant_mode="ste", fa_idx=0):
+    """One P-frame FM RD forward at a (traced) q_index in [0, 64).
+
+    ref_feature/ref_mv_feature/ref_y/ref_mv_y are the propagated DPB
+    entries (None on the first P-frame after an intra — the adaptor-I /
+    fusion-adaptor-0 path).  Returns the full DPB for cascading plus
+    differentiable rate terms.  Mirrors models/dmc_fm.compress_frame
+    (reference video_model.py forward) with STE/noise quantization.
+    """
+    from ..models import dmc_fm as FMM
+    from ..layers.blocks_fm import spynet_apply as fm_spynet
+    p = params
+    n_pix = x.shape[1] * x.shape[2]
+    rngs = jax.random.split(rng, 2)
+    steady = ref_feature is not None
+
+    # --- motion branch -----------------------------------------------------
+    q_mv_enc = FMM.get_curr_q(p["mv_y_q_enc"], q_index).astype(x.dtype)
+    est_mv = fm_spynet(p["optic_flow"], x, ref_frame)
+    mv_y = FMM.mv_encoder(p, est_mv,
+                          ref_mv_feature if steady else None, q_mv_enc)
+    mv_z = FMM.hyper_enc_apply(p["mv_hyper_enc"], C.pad_for_y(mv_y))
+    mv_z_hat = _quant(mv_z, rngs[0], quant_mode)
+    bits_mv_z = jnp.sum(bit_estimator_bits(p["bit_estimator_z_mv"],
+                                           mv_z_hat, 0))
+    mv_params = FMM._stage_mv_prior(
+        p, mv_z_hat.astype(x.dtype), ref_mv_y if steady else None,
+        mv_y.shape[1], mv_y.shape[2])
+    mv_y_div, mv_q_dec, mv_scales, mv_means = \
+        C.separate_prior_video_encoding(mv_params, mv_y)
+    mv_so_far, bits_mv_y = _fm_masked_4x(
+        mv_y_div, mv_scales, mv_means,
+        lambda k, sf, prm: FMM._stage_mv_spatial(p, k, sf, prm),
+        mv_params)
+    mv_y_hat = mv_so_far * mv_q_dec
+    mv_hat, mv_feature = FMM._stage_mv_dec(p, mv_y_hat, q_index)
+    c1, c2, c3, warpframe = FMM._stage_motion_comp(
+        p, mv_hat, ref_frame, ref_feature if steady else None, fa_idx)
+
+    # --- contextual branch ---------------------------------------------
+    q_y_enc = FMM.get_curr_q(p["y_q_enc"], q_index).astype(x.dtype)
+    y = FMM.contextual_encoder(p, x, c1, c2, c3, q_y_enc)
+    z = FMM.hyper_enc_apply(p["hyper_enc"], C.pad_for_y(y))
+    z_hat = _quant(z, rngs[1], quant_mode)
+    bits_z = jnp.sum(bit_estimator_bits(p["bit_estimator_z"], z_hat, 0))
+    y_params = FMM._stage_ctx_prior(
+        p, z_hat.astype(x.dtype), c3, ref_y if steady else None,
+        y.shape[1], y.shape[2])
+    y_div, q_dec, scales, means = \
+        C.separate_prior_video_encoding(y_params, y)
+    y_so_far, bits_y = _fm_masked_4x(
+        y_div, scales, means,
+        lambda k, sf, prm: FMM._stage_y_spatial(p, k, sf, prm),
+        y_params)
+    y_hat = y_so_far * q_dec
+    x_hat, feature = FMM._stage_recon(p, y_hat, c1, c2, c3, q_index)
+
+    return {"x_hat": x_hat, "feature": feature,
+            "mv_feature": mv_feature, "y_hat": y_hat,
+            "mv_y_hat": mv_y_hat,
+            "mse": jnp.mean(jnp.square(x_hat - x)),
+            "warp_mse": jnp.mean(jnp.square(warpframe - x)),
+            "bpp_y": bits_y / n_pix, "bpp_z": bits_z / n_pix,
+            "bpp_mv_y": bits_mv_y / n_pix,
+            "bpp_mv_z": bits_mv_z / n_pix,
+            "bpp": (bits_y + bits_z + bits_mv_y + bits_mv_z) / n_pix}
+
+
 #: parameter subtrees of the motion branch, frozen in stages 2-3
 #: (reference train_dcvc_sq_2to7_data_ddp.py:174-192)
 DCVC_MOTION_SUBTREES = (

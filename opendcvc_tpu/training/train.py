@@ -15,8 +15,8 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .forward import (dmci_forward, dmc_forward_one_frame, dcvc_forward,
-                      dmc_tcm_forward_one_frame, stage_loss_dcvc,
-                      DCVC_MOTION_SUBTREES)
+                      dmc_tcm_forward_one_frame, dmc_fm_forward_one_frame,
+                      stage_loss_dcvc, DCVC_MOTION_SUBTREES)
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +134,47 @@ def make_tcm_loss(lmbda, quant_mode="ste"):
             metrics["bpp"] += out["bpp"] / n_frames
             ref = out["x_hat"]
             feature = out["feature"]
+        loss = total / n_frames
+        metrics["loss"] = loss
+        return loss, metrics
+    return loss_fn
+
+
+def make_fm_loss(lmbda_min, lmbda_max, quant_mode="ste"):
+    """Cascaded FM loss: ONE model over the full 0-63 q_index range.
+
+    The per-step q_index is traced (sampled by the caller and passed as
+    `qp`), and the loss weight is the log-matched lambda — this is what
+    drives the learned min/max quant anchors apart so the single model
+    spans the rate range (reference common_model.py:37-52; the reference
+    ships no FM trainer).  The full DPB (feature, mv_feature, y, mv_y)
+    propagates between frames; fa_idx cycles 0/1/2 like the eval path.
+    """
+    def loss_fn(params, frames, qp, rng):
+        # FM's q_index runs LOW->HIGH rate (anchors (min, max), higher
+        # index => larger q => more bits), the reverse of the banked
+        # models' qp ladder — flip before the shared lambda interp
+        lmbda_q = lmbda_for_qp(63 - qp, lmbda_min, lmbda_max, qp_num=64)
+        ref = frames[:, 0]
+        feature = mv_feature = ref_y = ref_mv_y = None
+        n_frames = frames.shape[1] - 1
+        rngs = jax.random.split(rng, n_frames)
+        total = 0.0
+        metrics = {"mse": 0.0, "bpp": 0.0, "warp_mse": 0.0}
+        for t in range(n_frames):
+            out = dmc_fm_forward_one_frame(
+                params, frames[:, t + 1], ref, feature, mv_feature,
+                ref_y, ref_mv_y, qp, rngs[t], quant_mode,
+                fa_idx=t % 3)
+            total = total + rd_loss(out, lmbda_q)
+            metrics["mse"] += out["mse"] / n_frames
+            metrics["warp_mse"] += out["warp_mse"] / n_frames
+            metrics["bpp"] += out["bpp"] / n_frames
+            ref = out["x_hat"]
+            feature = out["feature"]
+            mv_feature = out["mv_feature"]
+            ref_y = out["y_hat"]
+            ref_mv_y = out["mv_y_hat"]
         loss = total / n_frames
         metrics["loss"] = loss
         return loss, metrics

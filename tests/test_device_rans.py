@@ -321,6 +321,99 @@ def test_dmc_device_ec_skip_mode_matches_classic():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("fz", [None, 0.3])
+def test_dmc_device_ec_pallas_matches_xla(fz):
+    """The Pallas megastage path (OPENDCVC_TPU_PALLAS_EC=1) must emit
+    byte-identical streams and decode to identical frames as the XLA
+    lax.scan path — with and without force_zero_thres (skip-lane
+    compaction rides SKIP_ROW through the kernels).  Runs the kernels
+    in interpret mode so the CPU gate covers them; the on-hardware gate
+    (OPENDCVC_TPU_TEST_PLATFORM=tpu) compiles the same code via
+    Mosaic."""
+    from opendcvc_tpu.models.dmc import DMC
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    x1 = jnp.asarray(np.clip(np.asarray(x0)
+                             + rng.normal(0, 0.02, (1, 64, 64, 3))
+                             .astype(np.float32), 0, 1))
+
+    def run(pallas):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
+        if pallas:
+            os.environ["OPENDCVC_TPU_PALLAS_EC"] = "1"
+            os.environ["OPENDCVC_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            enc = DMC()
+            enc.init_params(seed=0)
+            enc.update(force_zero_thres=fz)
+            enc.clear_dpb()
+            enc.set_curr_poc(0)
+            enc.add_ref_frame(None, x0)
+            s = enc.compress(x1, 21)["bit_stream"]
+
+            dec = DMC()
+            dec.load_params(enc.params)
+            dec.update(force_zero_thres=fz)
+            dec.clear_dpb()
+            dec.set_curr_poc(0)
+            dec.add_ref_frame(None, x0)
+            sps = {"sps_id": 0, "height": 64, "width": 64, "ec_part": 0,
+                   "use_ada_i": 0}
+            r = dec.decompress(s, sps, 21)["x_hat"]
+            return s, np.asarray(r), np.asarray(dec.dpb[0].feature,
+                                                np.float32)
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+            os.environ.pop("OPENDCVC_TPU_PALLAS_EC", None)
+            os.environ.pop("OPENDCVC_TPU_PALLAS_INTERPRET", None)
+
+    s_p, r_p, f_p = run(True)
+    s_x, r_x, f_x = run(False)
+    assert s_p == s_x
+    np.testing.assert_array_equal(r_p, r_x)
+    np.testing.assert_array_equal(f_p, f_x)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fz", [None, 0.3])
+def test_dmci_device_ec_pallas_matches_xla(fz):
+    """Intra megastage: the Pallas path (all five planes in one fused
+    kernel) must emit byte-identical streams and frames as the XLA
+    scans, with and without skip-lane compaction (interpret mode on
+    CPU; Mosaic on the hardware gate)."""
+    from opendcvc_tpu.models.dmci import DMCI
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+
+    def run(pallas):
+        os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1"
+        if pallas:
+            os.environ["OPENDCVC_TPU_PALLAS_EC"] = "1"
+            os.environ["OPENDCVC_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            enc = DMCI()
+            enc.init_params(seed=0)
+            enc.update(force_zero_thres=fz)
+            s = enc.compress(x, 21)["bit_stream"]
+            dec = DMCI()
+            dec.load_params(enc.params)
+            dec.update(force_zero_thres=fz)
+            sps = {"sps_id": 0, "height": 64, "width": 64, "ec_part": 0,
+                   "use_ada_i": 0}
+            r = dec.decompress(s, sps, 21)["x_hat"]
+            return s, np.asarray(r)
+        finally:
+            os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+            os.environ.pop("OPENDCVC_TPU_PALLAS_EC", None)
+            os.environ.pop("OPENDCVC_TPU_PALLAS_INTERPRET", None)
+
+    s_p, r_p = run(True)
+    s_x, r_x = run(False)
+    assert s_p == s_x
+    np.testing.assert_array_equal(r_p, r_x)
+
+
+@pytest.mark.slow
 def test_dmci_device_ec_skip_mode_matches_classic():
     """Intra 4-pass skip mode: device-EC vs classic host path, exact
     reconstruction equality at two QPs."""

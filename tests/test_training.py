@@ -137,6 +137,57 @@ def test_tcm_training_descends():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
+def test_fm_training_descends_and_spans_rate_range():
+    """FM's novelty is ONE model over the full 0-63 q_index range via
+    learned log-interpolated quant anchors (reference
+    DCVC-FM/src/models/common_model.py:37-52).  Train a few steps with
+    per-step q_index + matched lambda and check (a) the loss descends,
+    (b) the anchors receive gradient and stay ordered (min < max), and
+    (c) a q_index sweep of the trained weights still moves rate the
+    right way (higher index => more bits)."""
+    from opendcvc_tpu.models.dmc_fm import dmc_fm_init
+    from opendcvc_tpu.training.train import make_fm_loss
+    from opendcvc_tpu.training.forward import dmc_fm_forward_one_frame
+    params = dmc_fm_init(jax.random.PRNGKey(7))
+    for k in ("mv_y_q_enc", "mv_y_q_dec", "y_q_enc", "y_q_dec"):
+        params[k] = jnp.array([0.5, 2.0])
+    anchors0 = np.asarray(params["y_q_enc"], np.float32)
+
+    loss_fn = make_fm_loss(lmbda_min=85.0, lmbda_max=2048.0)
+    tx = make_optimizer(base_lr=1e-4)
+    step = make_train_step(loss_fn, tx, donate=False)
+    opt_state = tx.init(params)
+    frames = jnp.asarray(np.random.default_rng(7).random((1, 3, 48, 48, 3)),
+                         jnp.float32)
+    # descend at a FIXED q_index (different q => different lambda, so
+    # cross-q losses aren't comparable); the interior point still pulls
+    # on both log-interp anchors
+    losses = []
+    for i in range(3):
+        params, opt_state, metrics = step(params, opt_state, frames,
+                                          jnp.int32(31),
+                                          jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+
+    anchors1 = np.asarray(params["y_q_enc"], np.float32)
+    assert not np.array_equal(anchors0, anchors1)  # anchors train
+    for k in ("mv_y_q_enc", "mv_y_q_dec", "y_q_enc", "y_q_dec"):
+        a = np.asarray(params[k], np.float32)
+        assert 0 < a[0] < a[1], (k, a)  # ordered: log-interp stays valid
+
+    x = frames[:, 1]
+    ref = frames[:, 0]
+    fwd = jax.jit(dmc_fm_forward_one_frame,
+                  static_argnames=("quant_mode", "fa_idx"))
+    bpp = {q: float(fwd(params, x, ref, None, None, None, None,
+                        jnp.int32(q), jax.random.PRNGKey(9))["bpp"])
+           for q in (0, 63)}
+    assert bpp[63] > bpp[0], bpp
+
+
 def test_schedules():
     for kind in ("constant", "step", "multistep", "cosine"):
         kw = {"milestones": [100, 200]} if kind == "multistep" else {}
