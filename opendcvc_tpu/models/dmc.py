@@ -935,12 +935,26 @@ class DMC:
     def _kyc_for(k_y, fz):
         """First-rung skip-compaction steps per lane (0 = off).
 
+        Opt-in via OPENDCVC_TPU_EC_SKIP_COMPACT=1: measured at 1080p on
+        a v5e (4096 lanes, fz=0.12, ~50% survivors) the compaction
+        machinery costs MORE than the scan steps it saves — enc 24.5 vs
+        18.4 ms/frame, GOP dec 31.2 vs 16.8 ms/frame.  The per-plane
+        cumsum + scatters run over the full 524k-symbol plane on both
+        sides while the saved 64 scan steps are only ~3 ms, and the
+        rung-regrow ladder makes container metas content-dependent
+        (a mid-sequence rung change forces a fresh megastage compile on
+        the decoder).  The zero-rate SKIP_ROW passthrough (kyc=0) is
+        measured free (18.4/16.8 with fz vs 18.6/17.1 without), so skip
+        mode itself stays on; compaction remains available for
+        link-limited deployments where the ~45% smaller staging
+        transfer outweighs device time.
+
         Quantized to multiples of 8 so mixed-content sequences reuse a
         handful of compiled configs; OPENDCVC_TPU_EC_SKIP_FRAC sets the
         assumed survivor fraction (the ladder regrows from the in-graph
         survivor count when a frame beats the assumption)."""
         if fz is None or os.environ.get(
-                "OPENDCVC_TPU_EC_SKIP_COMPACT", "1") in ("0", "false"):
+                "OPENDCVC_TPU_EC_SKIP_COMPACT", "0") in ("0", "false"):
             return 0
         frac = float(os.environ.get("OPENDCVC_TPU_EC_SKIP_FRAC", 0.5))
         kyc = min(k_y, -(-int(np.ceil(k_y * frac)) // 8) * 8)

@@ -674,6 +674,9 @@ def test_dmc_skip_compaction_rung_and_regrow():
     def run(device_ec, fz, frac=None):
         os.environ["OPENDCVC_TPU_DEVICE_EC"] = "1" if device_ec else "0"
         if frac is not None:
+            # compaction is opt-in (a measured device-time loss at
+            # 1080p survivor statistics; see DMC._kyc_for)
+            os.environ["OPENDCVC_TPU_EC_SKIP_COMPACT"] = "1"
             os.environ["OPENDCVC_TPU_EC_SKIP_FRAC"] = str(frac)
         try:
             enc = DMC()
@@ -697,6 +700,7 @@ def test_dmc_skip_compaction_rung_and_regrow():
         finally:
             os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
             os.environ.pop("OPENDCVC_TPU_EC_SKIP_FRAC", None)
+            os.environ.pop("OPENDCVC_TPU_EC_SKIP_COMPACT", None)
 
     # 96x96: k_y = 9; frac 0.25 -> first rung kyc=8 < k_y
     s_dev, r_dev, f_dev = run(True, 0.3, frac=0.25)
