@@ -274,11 +274,14 @@ def main():
             d_net.set_curr_poc(0)
             d_net.add_ref_frame(None, enc0["x_hat"])
             for s in seed_streams:
-                d_net.decompress(s, sps, qp)
+                out = d_net.decompress(s, sps, qp)
+            out["x_hat"].block_until_ready()
 
-        # warm every graph (single-frame variants + the GOP scan)
+        # warm every graph (single-frame variants + the GOP scan);
+        # block so no warmup execution bleeds into the timed region
         seed_decoder()
-        d_net.decompress_gop(chunk_streams[0], sps, qps)
+        d_net.decompress_gop(chunk_streams[0], sps, qps)["x_hat"] \
+            .block_until_ready()
 
         seed_decoder()
         t0 = time.perf_counter()
@@ -315,23 +318,34 @@ def main():
         for f in i_frames:
             f.block_until_ready()
         # warm + measure the batched intra megastage (independent
-        # frames: ONE execution + ONE dense fetch for the whole batch)
+        # frames: ONE execution + ONE dense fetch for the whole batch);
+        # best-of-2 because the tunneled link's throughput fluctuates
+        # and a single 8-frame batch can't average it out
         i_streams = i_net.compress_batch(i_frames, qp)["bit_streams"]
-        t0 = time.perf_counter()
-        _, fin = i_net.compress_batch_async(i_frames, qp)
-        i_streams = fin()
-        intra_enc_fps = n_intra / (time.perf_counter() - t0)
+        enc_times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _, fin = i_net.compress_batch_async(i_frames, qp)
+            i_streams = fin()
+            enc_times.append(time.perf_counter() - t0)
+        intra_enc_fps = n_intra / min(enc_times)
 
         i_dec = DMCI(dtype=dtype)
         i_dec.load_params(i_net.params)
         i_dec.update(force_zero_thres=fz)
         i_sps = {"sps_id": 0, "height": height, "width": width,
                  "ec_part": 1 if use_two else 0, "use_ada_i": 0}
-        i_dec.decompress_batch(i_streams, i_sps, qp)  # warm
-        t0 = time.perf_counter()
-        outs = i_dec.decompress_batch(i_streams, i_sps, qp)["x_hat"]
-        outs.block_until_ready()
-        intra_dec_fps = n_intra / (time.perf_counter() - t0)
+        # block the warm call: an un-awaited warmup execution would
+        # still hold the device when the timed call's upload starts
+        i_dec.decompress_batch(i_streams, i_sps, qp)["x_hat"] \
+            .block_until_ready()
+        dec_times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = i_dec.decompress_batch(i_streams, i_sps, qp)["x_hat"]
+            outs.block_until_ready()
+            dec_times.append(time.perf_counter() - t0)
+        intra_dec_fps = n_intra / min(dec_times)
 
     if dec_fps is None:
         value = enc_fps

@@ -33,6 +33,8 @@ decode path and the roundtrip tests; a native lane decoder can replace
 it later.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -451,15 +453,11 @@ def serialize_frame_dense(dense, lens, states, n_symbols, K, MW, cap,
                             .astype(np.uint16).tobytes()])
 
 
-def parse_frame(stream, offset=0):
-    """Parse one v6 container into the COMPACT device staging vector:
-    [dense words padded to cap | lens (L) | state hi (L) | state lo (L)]
-    — exactly the layout densify_segment produced on the encoder, so
-    only ~true-bpp bytes cross host->device and the device re-expands
-    lanes itself (_undensify_device).
+def parse_frame_parts(stream, offset=0):
+    """Parse one v6 container into its raw parts.
 
-    Returns (meta, staging_u16, next_offset); meta carries
-    n/L/K/MW/cap/kyc/total."""
+    Returns (meta, dense (total,) u16, lens (L,) u16, states (L,) u32,
+    next_offset); meta carries n/L/K/MW/cap/kyc/total."""
     if stream[offset] != FRAME_MAGIC:
         raise ValueError(
             f"bad container magic 0x{stream[offset]:02x} (expected "
@@ -477,14 +475,195 @@ def parse_frame(stream, offset=0):
     states = np.frombuffer(stream, np.uint32, L, off); off += 4 * L
     total = dlen // 2
     dense = np.frombuffer(stream, np.uint16, total, off); off += dlen
-    staging = np.zeros(cap + 3 * L, np.uint16)
-    staging[:total] = dense
-    staging[cap:cap + L] = lens
-    staging[cap + L:cap + 2 * L] = (states >> 16).astype(np.uint16)
-    staging[cap + 2 * L:] = (states & 0xFFFF).astype(np.uint16)
     meta = {"n": n, "L": L, "K": K, "MW": mw, "cap": cap, "kyc": kyc,
             "total": total}
+    return meta, dense, lens, states, off
+
+
+def staging_from_parts(dense, lens, states, cap, width=None):
+    """Assemble the host-side staging vector [dense padded to `width` |
+    lens | st_hi | st_lo] (u16).  width defaults to cap (the megastage's
+    native layout); a smaller quantized width is the BUCKETED upload
+    form — expand_staging() re-pads it to cap on the device, so the H2D
+    volume scales with the frame's true bits instead of the staging
+    capacity."""
+    L = lens.shape[0]
+    w = cap if width is None else width
+    staging = np.zeros(w + 3 * L, np.uint16)
+    staging[:dense.shape[0]] = dense
+    staging[w:w + L] = lens
+    staging[w + L:w + 2 * L] = (states >> 16).astype(np.uint16)
+    staging[w + 2 * L:] = (states & 0xFFFF).astype(np.uint16)
+    return staging
+
+
+def parse_frame(stream, offset=0):
+    """Parse one v6 container into the COMPACT device staging vector:
+    [dense words padded to cap | lens (L) | state hi (L) | state lo (L)]
+    — exactly the layout densify_segment produced on the encoder, so
+    only ~true-bpp bytes cross host->device and the device re-expands
+    lanes itself (_undensify_device).
+
+    Returns (meta, staging_u16, next_offset); meta carries
+    n/L/K/MW/cap/kyc/total."""
+    meta, dense, lens, states, off = parse_frame_parts(stream, offset)
+    staging = staging_from_parts(dense, lens, states, meta["cap"])
     return meta, staging, off
+
+
+# ---------------------------------------------------------------------------
+# transfer slimming: the staging rectangle's capacity is sized for
+# worst-case content, but the tunneled link is bandwidth-bound, so both
+# directions move only a quantized window around the TRUE payload:
+#   decode: upload [dense padded to bucket | lens | hi | lo] and zero-
+#           extend to cap on-device (expand_staging) — exact, since the
+#           host knows total;
+#   encode: fetch [dense window w | lens | states | m] (fetch_window)
+#           and rebuild the cap layout on the host (restore_window) —
+#           sum(lens) > w is detected from the fetched lens and falls
+#           back to one full fetch, and the window adapts upward.
+# Windows/buckets quantize to WINDOW_STEP so mixed content reuses a
+# handful of compiled slice/pad programs (each is a trivial compile,
+# but executable churn is still worth bounding).
+# ---------------------------------------------------------------------------
+
+WINDOW_STEP = 8192  # u16 words = 16 KiB
+
+
+def quantize_window(words, cap, step=None):
+    step = WINDOW_STEP if step is None else step
+    return int(min(-(-max(int(words), 1) // step) * step, cap))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def expand_staging(win, bucket, cap):
+    """(…, bucket+3L) u16 -> (…, cap+3L): zero-extend the dense section
+    to cap on-device so the decode megastage keeps its single static
+    shape while the upload scales with true bits."""
+    dense = win[..., :bucket]
+    tail = win[..., bucket:]
+    pad = [(0, 0)] * (win.ndim - 1) + [(0, cap - bucket)]
+    return jnp.concatenate([jnp.pad(dense, pad), tail], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def fetch_window(packed, w, cap, tail):
+    """[dense(cap) | tail…] -> [dense(:w) | tail…] along the last axis
+    (leading batch dims preserved): the D2H fetch form."""
+    nd = packed.ndim - 1
+    lo = [0] * nd
+    hi = list(packed.shape[:-1])
+    a = lax.slice(packed, lo + [0], hi + [w])
+    b = lax.slice(packed, lo + [cap], hi + [cap + tail])
+    return jnp.concatenate([a, b], axis=-1)
+
+
+def slim_enabled():
+    import os
+    return os.environ.get("OPENDCVC_TPU_EC_SLIM", "1") \
+        not in ("0", "false", "False")
+
+
+def fetch_w_for(windows, cap):
+    """Current adaptive D2H window width for a staging capacity:
+    starts at cap/4 (quantized), grows to fit observed payloads
+    (grow_fetch_w), never shrinks.  `windows` is the caller's per-
+    instance {cap: w} dict."""
+    if not slim_enabled():
+        return cap
+    w = windows.get(cap)
+    if w is None:
+        w = quantize_window(cap // 4, cap)
+        windows[cap] = w
+    return w
+
+
+def grow_fetch_w(windows, cap, total):
+    """Grow the window to observed payload + 25% headroom."""
+    want = quantize_window(total + total // 4, cap)
+    if want > windows.get(cap, 0):
+        windows[cap] = want
+
+
+def slim_fetch(windows, packed, lanes, cap, tail_extra=2):
+    """Start the (windowed) D2H of encode staging(s) and return a
+    zero-arg finisher producing the full [dense(cap) | lens | states |
+    m] host vector(s) (leading batch dim preserved).  With slimming on,
+    only an adaptive dense window crosses the link; a window miss
+    (sum(lens) > w, detected from the fetched lens) falls back to ONE
+    full fetch of the kept-alive device array and grows the caller's
+    window for subsequent frames."""
+    import jax as _jax
+    tail = 3 * lanes + tail_extra
+    w = fetch_w_for(windows, cap)
+    fetched = packed if w >= cap else fetch_window(packed, w, cap, tail)
+    try:
+        fetched.copy_to_host_async()
+    except Exception:
+        pass
+
+    def finish():
+        arr = np.asarray(_jax.device_get(fetched))
+        if w >= cap:
+            return arr
+        batched = arr.ndim == 2
+        rows = arr if batched else arr[None]
+        out, full = [], None
+        for i in range(rows.shape[0]):
+            r = restore_window(rows[i], w, cap, lanes, tail)
+            if r is None:
+                if full is None:
+                    full = np.asarray(_jax.device_get(packed))
+                    if not batched:
+                        full = full[None]
+                    tot = int(full[:, cap:cap + lanes]
+                              .astype(np.int64).sum(axis=1).max())
+                    grow_fetch_w(windows, cap, tot)
+                r = full[i]
+            out.append(r)
+        return np.stack(out) if batched else out[0]
+
+    return finish
+
+
+def upload_stagings(bit_streams):
+    """Parse a chunk's containers and upload their compact decode
+    stagings.  With slimming on, only a quantized bucket around the
+    chunk's largest TRUE payload crosses the link; the device re-pads
+    it to the staging capacity (expand_staging) so the decode megastage
+    keeps its single static shape.  Returns (metas, stagings_dev) —
+    stagings_dev is None when the chunk mixes ladder rungs (the
+    caller's per-frame fallback case)."""
+    import jax as _jax
+    parts = [parse_frame_parts(s) for s in bit_streams]
+    metas = [pp[0] for pp in parts]
+    if len({(mm["L"], mm["MW"], mm["cap"], mm["kyc"])
+            for mm in metas}) != 1:
+        return metas, None
+    cap = metas[0]["cap"]
+    bucket = cap
+    if slim_enabled():
+        bucket = quantize_window(max(mm["total"] for mm in metas), cap)
+    st = np.stack([staging_from_parts(d, ln, s, cap, width=bucket)
+                   for _, d, ln, s, _ in parts])
+    dev = _jax.device_put(st)
+    if bucket < cap:
+        dev = expand_staging(dev, bucket, cap)
+    return metas, dev
+
+
+def restore_window(arr_w, w, cap, L, tail):
+    """np inverse of fetch_window for ONE frame: rebuild the
+    [dense(cap) | tail] vector.  Returns None when sum(lens) > w — the
+    window missed payload; the caller refetches the full packed vector
+    (kept alive on device) and grows its window."""
+    lens = arr_w[w:w + L]
+    if int(lens.astype(np.int64).sum()) > w:
+        return None
+    out = np.zeros(cap + tail, np.uint16)
+    out[:w] = arr_w[:w]
+    out[cap:] = arr_w[w:]
+    return out
 
 
 def _undensify_device(staging, cap, L, MW):

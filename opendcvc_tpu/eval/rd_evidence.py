@@ -18,27 +18,31 @@ import json
 import numpy as np
 
 
-def synthetic_images(n, size, seed=0):
+def synthetic_images(n, size, seed=0, width=None):
     """Deterministic mixed-content eval set: multi-scale block
     textures + smooth gradients + hard edges + mild noise — content a
     codec can actually model, with enough structure that rate responds
     to quantization (pure noise is incompressible; single-scale
-    textures saturate)."""
+    textures saturate).  `width` defaults to `size` (square)."""
     rng = np.random.default_rng(seed)
+    w = size if width is None else width
     imgs = []
     for _ in range(n):
-        img = np.zeros((size, size, 3), np.float32)
+        img = np.zeros((size, w, 3), np.float32)
         for block in (16, 8, 4):
-            lo = rng.random((size // block, size // block, 3))
-            img += np.kron(lo, np.ones((block, block, 1))) \
-                / (16 / block) ** 0.5
-        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+            lo = rng.random((-(-size // block), -(-w // block), 3))
+            img += np.kron(lo, np.ones((block, block, 1)))[
+                :size, :w] / (16 / block) ** 0.5
+        yy, xx = np.mgrid[0:size, 0:w].astype(np.float32)
+        yy, xx = yy / size, xx / w
         img += (rng.random(3) * np.stack([yy, xx, yy * xx], -1)).sum(
             -1, keepdims=True) * 0.5
         # a few hard-edged rectangles
         for _ in range(4):
-            y0, x0 = rng.integers(0, size - 8, 2)
-            h_, w_ = rng.integers(4, size // 3, 2)
+            y0 = rng.integers(0, size - 8)
+            x0 = rng.integers(0, w - 8)
+            h_ = rng.integers(4, size // 3)
+            w_ = rng.integers(4, w // 3)
             img[y0:y0 + h_, x0:x0 + w_] += rng.random(3) - 0.5
         img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
         img = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
@@ -70,10 +74,17 @@ TINY_KW = {"N": 96, "z_channel": 64, "enc_dec_ch": 64}
 
 
 def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
-            seed=0):
+            seed=0, width=None):
+    """QP sweep on real streams; `width` enables non-square frames
+    (e.g. true 1080x1920 — frames pad to the codec's 64-alignment like
+    the eval harness, PSNR is computed on the unpadded region, and
+    both bpp figures count the padded pixels so the
+    stream-vs-estimate ratio is alignment-free)."""
     import jax
     import jax.numpy as jnp
     from ..models.dmci import DMCI
+    from ..models import common as CM
+    from ..ops.fused import replicate_pad
     from ..training.forward import dmci_forward
     from ..utils import checkpoint as ckpt
     from ..utils.metrics import calc_psnr
@@ -84,7 +95,10 @@ def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
     net.load_params(payload["params"])
     net.update()
 
-    imgs = synthetic_images(n_images, size, seed)
+    imgs = synthetic_images(n_images, size, seed, width=width)
+    h, w = size, (size if width is None else width)
+    pr, pb = CM.get_padding_size(h, w, 64)
+    n_pix = (h + pb) * (w + pr)
 
     points = []
     for qp in qps:
@@ -92,18 +106,20 @@ def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
         quality = []
         for img in imgs:
             x = jnp.asarray(img)
+            if pr or pb:
+                x = replicate_pad(x, pb, pr)
             fwd = dmci_forward(net.params, x, jnp.int32(qp),
                                jax.random.PRNGKey(0), quant_mode="ste")
-            est_bits += float(fwd["bpp"]) * size * size
+            est_bits += float(fwd["bpp"]) * n_pix
             enc = net.compress(x, qp)
             real_bits += len(enc["bit_stream"]) * 8
             quality.append(float(calc_psnr(
-                np.asarray(enc["x_hat"], np.float32), img,
+                np.asarray(enc["x_hat"], np.float32)[:, :h, :w], img,
                 data_range=1.0)))
         points.append({
             "qp": int(qp),
-            "bpp_stream": real_bits / (n_images * size * size),
-            "bpp_estimate": est_bits / (n_images * size * size),
+            "bpp_stream": real_bits / (n_images * n_pix),
+            "bpp_estimate": est_bits / (n_images * n_pix),
             "stream_vs_estimate": real_bits / est_bits,
             "psnr": float(np.mean(quality)),
         })
@@ -275,6 +291,10 @@ def main(argv=None):
     ap.add_argument("--qps", type=int, nargs="+",
                     default=[16, 26, 36, 46])
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--width", type=int, default=0,
+                    help="frame width for non-square sweeps (0 = "
+                         "square --size; e.g. --size 1080 --width "
+                         "1920 for true 1080p)")
     ap.add_argument("--train_tiny", action="store_true",
                     help="first (re)train the committable tiny "
                          "checkpoint at --ckpt, then measure")
@@ -290,7 +310,8 @@ def main(argv=None):
     else:
         if args.train_tiny:
             train_tiny(args.ckpt, steps=args.steps, seed=args.seed)
-        points = measure(args.ckpt, qps=tuple(args.qps), size=args.size)
+        points = measure(args.ckpt, qps=tuple(args.qps), size=args.size,
+                         width=args.width or None)
     payload = {"model": args.model, "ckpt": args.ckpt, "points": points}
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)

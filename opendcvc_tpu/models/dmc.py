@@ -754,6 +754,9 @@ class DMC:
         self._j_decompress_gop = jax.jit(
             _decompress_gop, static_argnums=(5, 6, 7, 8, 9, 10, 11,
                                              12, 13))
+        # adaptive D2H fetch-window width per staging capacity
+        # (transfer slimming; see entropy.device_rans fetch_window)
+        self._fetch_windows = {}
 
     # -- setup ---------------------------------------------------------------
 
@@ -1021,6 +1024,18 @@ class DMC:
         raise OverflowError(
             "device rANS staging overflowed at the top ladder rung")
 
+    def _slim_fetch(self, packed, lanes, cap):
+        """Windowed D2H of encode staging(s); see device_rans.slim_fetch
+        (transfer slimming — only ~true-bpp bytes cross the link)."""
+        from ..entropy.device_rans import slim_fetch
+        return slim_fetch(self._fetch_windows, packed, lanes, cap)
+
+    def _upload_stagings(self, bit_streams):
+        """Bucketed H2D of decode stagings; see
+        device_rans.upload_stagings."""
+        from ..entropy.device_rans import upload_stagings
+        return upload_stagings(bit_streams)
+
     def _compress_async_device(self, x, qp, qp_dev):
         """Device-EC encode: ONE execution per frame (all NN stages +
         lane layout + the three rANS scans fused), one async D2H of the
@@ -1045,15 +1060,12 @@ class DMC:
 
         feature_out, packed = run(mw, cap, kyc,
                                   _use_pallas_ec())
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass
+        fetch = self._slim_fetch(packed, lanes, cap)
         self.add_ref_frame(feature_out, None)
 
         def finish_device():
             return self._finish_one_device(
-                jax.device_get(packed), lanes, mw, cap, bps, n_total,
+                fetch(), lanes, mw, cap, bps, n_total,
                 k_total, lambda m, c, k: run(m, c, k, False)[1],
                 kyc, k_y, k_z)
 
@@ -1089,15 +1101,12 @@ class DMC:
             p, xs, self.dpb[0].feature, qps_arr, enc.cum_hl, lanes,
             mw, enc.n_y_rows, cap, _use_pallas_ec(), fz,
             kyc)
-        try:
-            segs.copy_to_host_async()
-        except Exception:
-            pass
+        fetch = self._slim_fetch(segs, lanes, cap)
         self.add_ref_frame(feat_last, None, increase_poc=False)
         self.curr_poc += len(frames)
 
         def finish_gop():
-            arr = jax.device_get(segs)
+            arr = fetch()
             streams = []
             for i in range(len(frames)):
                 def rerun(m, c, k, i=i):
@@ -1126,13 +1135,13 @@ class DMC:
         """Device-EC decode: one compact (~true-bpp) H2D upload and ONE
         execution per frame (device-side lane re-expansion + lane
         decoders + all NN stages fused)."""
-        from ..entropy.device_rans import parse_frame
         p = self.params
         qp_dev = np.int32(qp)
         dec = self.device_decoder
 
-        m, staging_np, _ = parse_frame(bit_stream)
-        stream_dev = jnp.asarray(staging_np)  # ONE upload per frame
+        metas, stagings = self._upload_stagings([bit_stream])
+        m = metas[0]
+        stream_dev = stagings[0]  # ONE (slimmed) upload per frame
 
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         from_feature = self.dpb[0].feature is not None
@@ -1153,27 +1162,20 @@ class DMC:
         frame that hit the regrow ladder).  Returns
         {"x_hat": (N, 1, H, W, C)} with the DPB advanced past the whole
         chunk."""
-        from ..entropy.device_rans import parse_frame
         if not self.device_ec:
             raise ValueError("decompress_gop requires device-EC mode")
         if self.dpb[0].feature is None:
             raise ValueError("decompress_gop needs a feature reference "
                              "(decode the first P-frame with "
                              "decompress)")
-        p = self.params
-        dec = self.device_decoder
-        parsed = [parse_frame(s) for s in bit_streams]
-        metas = [m for m, _, _ in parsed]
-        if len({(m["L"], m["MW"], m["cap"], m["kyc"])
-                for m in metas}) != 1:
+        metas, stagings = self._upload_stagings(bit_streams)
+        if stagings is None:
             outs = [self.decompress(s, sps, q)["x_hat"]
                     for s, q in zip(bit_streams, qps)]
             return {"x_hat": jnp.stack(outs)}
-        m = metas[0]
-        stagings = jnp.asarray(np.stack([st for _, st, _ in parsed]))
         qps_arr = jnp.asarray(np.asarray(qps, np.int32))
         return self._decompress_gop_uploaded(
-            (m, stagings, len(bit_streams)), sps, qps_arr)
+            (metas[0], stagings, len(bit_streams)), sps, qps_arr)
 
     def upload_gop(self, bit_streams, sps):
         """Parse a chunk's containers and START its H2D upload (async),
@@ -1184,13 +1186,9 @@ class DMC:
         video_model.py:364-371).  Returns an opaque handle for
         decompress_gop_uploaded, or None if the chunk needs the
         per-frame fallback (mixed ladder rungs)."""
-        from ..entropy.device_rans import parse_frame
-        parsed = [parse_frame(s) for s in bit_streams]
-        metas = [mm for mm, _, _ in parsed]
-        if len({(mm["L"], mm["MW"], mm["cap"], mm["kyc"])
-                for mm in metas}) != 1:
+        metas, stagings = self._upload_stagings(bit_streams)
+        if stagings is None:
             return None
-        stagings = jax.device_put(np.stack([st for _, st, _ in parsed]))
         return (metas[0], stagings, len(bit_streams))
 
     def decompress_gop_uploaded(self, uploaded, sps, qps):

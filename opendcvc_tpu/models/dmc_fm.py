@@ -678,6 +678,8 @@ class DMCFM:
                                             4096))
         self.ec_bps = float(_os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5))
         self._cur_bps = self.ec_bps
+        # adaptive D2H fetch windows (transfer slimming)
+        self._fetch_windows = {}
         self.device_encoder = None
         self.device_decoder = None
         self._j_dev_compress = None
@@ -851,9 +853,11 @@ class DMCFM:
         out = run(mw, cap)
         x_hat, feature, mv_feature, y_hat, mv_y_hat, staging = out
         from ..entropy.device_rans import (serialize_frame_dense,
+                                           slim_fetch,
                                            undensify_packed)
-        dense, ln, st = undensify_packed(jax.device_get(staging), cap,
-                                         lanes)
+        fetch = slim_fetch(self._fetch_windows, staging, lanes, cap,
+                           tail_extra=0)
+        dense, ln, st = undensify_packed(fetch(), cap, lanes)
         for _ in range(8):
             if int(ln.max(initial=0)) < mw - 2 and int(ln.sum()) <= cap:
                 break
@@ -879,12 +883,13 @@ class DMCFM:
         }
 
     def _decompress_device(self, bit_stream, dpb, sps):
-        from ..entropy.device_rans import parse_frame
+        from ..entropy.device_rans import upload_stagings
         p = self.params
         dec = self.device_decoder
         steady = dpb["ref_feature"] is not None
-        m, staging_np, _ = parse_frame(bit_stream)
-        stream_dev = jnp.asarray(staging_np)
+        metas, stagings = upload_stagings([bit_stream])
+        m = metas[0]
+        stream_dev = stagings[0]
         yh, yw = C.get_downsampled_shape(sps["height"], sps["width"], 16)
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         zeros = jnp.zeros((), self.dtype)

@@ -478,6 +478,9 @@ class DMCI:
             _decompress_batch_i,
             static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
                             16))
+        # adaptive D2H fetch-window width per staging capacity
+        # (transfer slimming; see entropy.device_rans.slim_fetch)
+        self._fetch_windows = {}
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -616,10 +619,8 @@ class DMCI:
         x_hat, staging = self._j_compress_frame(
             self.params, x, qp_dev, enc.cum_hl, lanes, mw0,
             enc.n_y_rows, cap0, fz, kyc, _use_pallas_ec())
-        try:
-            staging.copy_to_host_async()
-        except Exception:
-            pass
+        from ..entropy.device_rans import slim_fetch
+        fetch = slim_fetch(self._fetch_windows, staging, lanes, cap0)
 
         def rerun(m, c, k):
             return self._j_compress_frame(
@@ -628,7 +629,7 @@ class DMCI:
 
         def finish():
             return self._finish_one_device_i(
-                jax.device_get(staging), H, W, lanes, mw0, cap0, bps0,
+                fetch(), H, W, lanes, mw0, cap0, bps0,
                 kyc, k_y, k_z, rerun)
 
         return x_hat, finish
@@ -661,13 +662,11 @@ class DMCI:
         x_hats, stagings = self._j_compress_batch(
             self.params, xs, qps_arr, enc.cum_hl, lanes, mw,
             enc.n_y_rows, cap, fz, kyc, _use_pallas_ec())
-        try:
-            stagings.copy_to_host_async()
-        except Exception:
-            pass
+        from ..entropy.device_rans import slim_fetch
+        fetch = slim_fetch(self._fetch_windows, stagings, lanes, cap)
 
         def finish():
-            arr = jax.device_get(stagings)  # ONE fetch for B frames
+            arr = fetch()  # ONE (slimmed) fetch for B frames
             streams = []
             for i in range(B):
                 def rerun(m, c, k, i=i):
@@ -753,12 +752,13 @@ class DMCI:
         """Device-EC decode: one compact (~true-bpp) H2D upload and ONE
         execution per frame (device-side lane re-expansion + lane
         decoders + the four restore passes + recon fused)."""
-        from ..entropy.device_rans import parse_frame
+        from ..entropy.device_rans import upload_stagings
         qp_dev = np.int32(qp)
         dec = self.device_decoder
 
-        m, staging, _ = parse_frame(bit_stream)
-        stream_dev = jnp.asarray(staging)  # ONE upload per frame
+        metas, stagings = upload_stagings([bit_stream])
+        m = metas[0]
+        stream_dev = stagings[0]  # ONE (slimmed) upload per frame
 
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"], 16)
@@ -775,24 +775,21 @@ class DMCI:
         geometry differs from the batch majority (mixed regrow rungs)
         fall back to the single-frame path.  Returns {"x_hat":
         (B, 1, H, W, 3)}."""
-        from ..entropy.device_rans import parse_frame
+        from ..entropy.device_rans import upload_stagings
         if not self.device_ec:
             raise ValueError("decompress_batch requires device-EC mode")
         B = len(bit_streams)
         qps_list = [int(qps)] * B if np.isscalar(qps) else list(qps)
-        parsed = [parse_frame(s) for s in bit_streams]
-        metas = [m for m, _, _ in parsed]
+        metas, stagings = upload_stagings(bit_streams)
         dec = self.device_decoder
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"],
                                            16)
-        if len({(m["L"], m["MW"], m["cap"], m["kyc"])
-                for m in metas}) != 1:
+        if stagings is None:
             xs = [self._decompress_device(s, sps, q)["x_hat"]
                   for s, q in zip(bit_streams, qps_list)]
             return {"x_hat": jnp.stack(xs)}
         m = metas[0]
-        stagings = jnp.asarray(np.stack([st for _, st, _ in parsed]))
         qps_arr = jnp.asarray(np.asarray(qps_list, np.int32))
         x_hats = self._j_decompress_batch(
             self.params, stagings, qps_arr, dec.cum_hl, zh, zw, y_h,

@@ -303,6 +303,8 @@ class DMCIFM:
         self.ec_lanes = int(_os.environ.get("OPENDCVC_TPU_EC_LANES",
                                             4096))
         self.ec_bps = float(_os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5))
+        # adaptive D2H fetch windows (transfer slimming)
+        self._fetch_windows = {}
         self.device_encoder = None
         self.device_decoder = None
         self._j_compress_frame = jax.jit(
@@ -364,6 +366,7 @@ class DMCIFM:
 
     def _compress_device(self, x, q_index):
         from ..entropy.device_rans import (serialize_frame_dense,
+                                           slim_fetch,
                                            undensify_packed)
         enc = self.device_encoder
         H, W = x.shape[1], x.shape[2]
@@ -373,12 +376,9 @@ class DMCIFM:
         x_hat, staging = self._j_compress_frame(
             self.params, x, qp_dev, enc.cum_hl, self._cfg, lanes,
             mw, enc.n_y_rows, cap, self.z_channel)
-        try:
-            staging.copy_to_host_async()
-        except Exception:
-            pass
-        dense, ln, st = undensify_packed(jax.device_get(staging), cap,
-                                         lanes)
+        fetch = slim_fetch(self._fetch_windows, staging, lanes, cap,
+                           tail_extra=0)
+        dense, ln, st = undensify_packed(fetch(), cap, lanes)
         for _ in range(8):
             if int(ln.max(initial=0)) < mw - 2 and int(ln.sum()) <= cap:
                 break
@@ -400,10 +400,11 @@ class DMCIFM:
                 "x_hat": x_hat}
 
     def _decompress_device(self, bit_stream, sps):
-        from ..entropy.device_rans import parse_frame
+        from ..entropy.device_rans import upload_stagings
         dec = self.device_decoder
-        m, staging, _ = parse_frame(bit_stream)
-        stream_dev = jnp.asarray(staging)
+        metas, stagings = upload_stagings([bit_stream])
+        m = metas[0]
+        stream_dev = stagings[0]
         zh, zw = C.get_downsampled_shape(sps["height"], sps["width"], 64)
         y_h, y_w = C.get_downsampled_shape(sps["height"], sps["width"],
                                            16)
