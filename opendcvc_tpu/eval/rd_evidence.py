@@ -128,14 +128,16 @@ def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
 
 def train_tiny(out_ckpt, steps=3000, seed=0, crop=96, batch=8,
                lmbda_min=32.0, lmbda_max=4096.0, lr=1e-4,
-               log_every=200, resume_from=None):
+               log_every=200, resume_from=None, model_kw=None):
     """Deterministically (re)train the committable reduced-channel DMCI
     RD-evidence checkpoint (TINY_KW) on mixed synthetic content with
     the per-QP lambda ladder.  ~minutes on CPU; the resulting msgpack
     is a few MB and is what tests/test_rate_consistency.py loads.
     resume_from continues from an existing checkpoint's params (fresh
     optimizer state); pass a distinct seed so the data stream
-    differs from the original run."""
+    differs from the original run.  model_kw overrides the channel
+    config ({} = the FULL-size DMCI — the BD-rate evidence run; run it
+    on the TPU, the full model is slow on CPU)."""
     import jax
     import jax.numpy as jnp
     from ..models.dmci import dmci_init
@@ -144,13 +146,12 @@ def train_tiny(out_ckpt, steps=3000, seed=0, crop=96, batch=8,
                                   make_train_step)
     from ..utils import checkpoint as ckpt
 
+    kw = TINY_KW if model_kw is None else model_kw
     if resume_from:
         params = ckpt.load_checkpoint(resume_from)["params"]
     else:
         params = C.run_init(
-            lambda k: dmci_init(k, TINY_KW["N"], TINY_KW["z_channel"],
-                                enc_dec_ch=TINY_KW["enc_dec_ch"]),
-            jax.random.PRNGKey(seed))
+            lambda k: dmci_init(k, **kw), jax.random.PRNGKey(seed))
     loss_fn = make_dmci_loss(lmbda_min, quant_mode="ste",
                              lmbda_max=lmbda_max)
     tx = make_optimizer(base_lr=lr, schedule="cosine",
@@ -174,7 +175,7 @@ def train_tiny(out_ckpt, steps=3000, seed=0, crop=96, batch=8,
                   flush=True)
         if (i + 1) % 500 == 0 or i + 1 == steps:
             ckpt.save_params(out_ckpt, params,
-                             extra={"model_kwargs": TINY_KW,
+                             extra={"model_kwargs": kw,
                                     "steps": i + 1, "seed": seed,
                                     "lmbda": [lmbda_min, lmbda_max]})
     return out_ckpt
@@ -298,6 +299,12 @@ def main(argv=None):
     ap.add_argument("--train_tiny", action="store_true",
                     help="first (re)train the committable tiny "
                          "checkpoint at --ckpt, then measure")
+    ap.add_argument("--train_full", action="store_true",
+                    help="first train a FULL-size DMCI at --ckpt "
+                         "(BD-rate evidence; run on TPU), then measure")
+    ap.add_argument("--resume_from", default=None)
+    ap.add_argument("--crop", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--model", choices=["dmci", "dmc"], default="dmci")
@@ -308,8 +315,11 @@ def main(argv=None):
         points = measure_dmc(args.ckpt, qps=tuple(args.qps),
                              size=args.size)
     else:
-        if args.train_tiny:
-            train_tiny(args.ckpt, steps=args.steps, seed=args.seed)
+        if args.train_tiny or args.train_full:
+            train_tiny(args.ckpt, steps=args.steps, seed=args.seed,
+                       crop=args.crop, batch=args.batch,
+                       resume_from=args.resume_from,
+                       model_kw={} if args.train_full else None)
         points = measure(args.ckpt, qps=tuple(args.qps), size=args.size,
                          width=args.width or None)
     payload = {"model": args.model, "ckpt": args.ckpt, "points": points}
