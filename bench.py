@@ -188,16 +188,33 @@ def main():
     fz = None if fz < 0 else fz
 
     i_net = DMCI(dtype=dtype)
-    i_net.init_params(seed=0)
-    # flat unit banks: random-init weights with the trained log-spaced
-    # rate ladder (models/dmci.py dmci_init) produce out-of-model symbol
-    # magnitudes at mid QPs; the bench pins the banks to a flat scale so
-    # the entropy-coding load matches trained-checkpoint statistics
-    # (bpp ~0.5 at 1080p) instead of thrashing the staging regrow ladder
-    q = i_net.params["q_scale_enc"]
-    q_scale_i = float(os.environ.get("BENCH_Q_SCALE_I", 0.2))
-    i_net.params["q_scale_enc"] = jnp.ones_like(q) * q_scale_i
-    i_net.params["q_scale_dec"] = jnp.ones_like(q)
+    ckpt_i = os.environ.get("BENCH_CKPT_I")
+    if ckpt_i:
+        # trained full-size checkpoint: the intra numbers then reflect
+        # trained symbol statistics (real q banks, real skip rates)
+        # instead of the flat-bank surrogate below
+        from opendcvc_tpu.utils import checkpoint as _ckpt
+        payload = _ckpt.load_checkpoint(ckpt_i)
+        kw = (payload.get("extra") or {}).get("model_kwargs", {})
+        if kw:
+            raise ValueError(f"BENCH_CKPT_I must be a full-size DMCI "
+                             f"checkpoint (got model_kwargs={kw})")
+        i_net.load_params(jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            payload["params"]))
+    else:
+        i_net.init_params(seed=0)
+        # flat unit banks: random-init weights with the trained
+        # log-spaced rate ladder (models/dmci.py dmci_init) produce
+        # out-of-model symbol magnitudes at mid QPs; the bench pins the
+        # banks to a flat scale so the entropy-coding load matches
+        # trained-checkpoint statistics (bpp ~0.5 at 1080p) instead of
+        # thrashing the staging regrow ladder
+        q = i_net.params["q_scale_enc"]
+        q_scale_i = float(os.environ.get("BENCH_Q_SCALE_I", 0.2))
+        i_net.params["q_scale_enc"] = jnp.ones_like(q) * q_scale_i
+        i_net.params["q_scale_dec"] = jnp.ones_like(q)
     i_net.update(force_zero_thres=fz)
     p_net = DMC(dtype=dtype)
     p_net.init_params(seed=1)
