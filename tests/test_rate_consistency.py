@@ -67,7 +67,28 @@ def test_dmci_estimate_matches_stream_trained():
     # (docs/rd_evidence_r3.json); the residual ~1% is table
     # quantization + container overhead at small sizes
     for p in points:
-        assert 0.95 < p["stream_vs_estimate"] < 1.05, p
+        assert 0.97 < p["stream_vs_estimate"] < 1.03, p
         # rate control must actually modulate: higher QP -> fewer bits
     bpps = [p["bpp_stream"] for p in points]
     assert bpps[0] > bpps[-1] * 1.2, bpps
+
+
+def test_1080p_sweep_artifact_inside_reference_bound():
+    """Regression on the committed true-1080p sweep artifact: the
+    reference requires <0.5% estimate/stream agreement at 1080p for
+    trained models (DCVC-TCM README.md:48); the round-4 measurement
+    of the tiny checkpoint at 1920x1080 recorded 1.0003-1.0015
+    (docs/rd_evidence_r4_1080p.json).  Regenerate with
+    `python -m opendcvc_tpu.eval.rd_evidence --ckpt
+    docs/dmci_tiny_rd.msgpack --size 1080 --width 1920 ...`."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "rd_evidence_r4_1080p.json")
+    with open(path) as f:
+        points = json.load(f)["points"]
+    assert len(points) >= 4
+    for p in points:
+        assert 0.995 < p["stream_vs_estimate"] < 1.005, p
+    bpps = [p["bpp_stream"] for p in points]
+    assert all(a > b for a, b in zip(bpps, bpps[1:])), bpps
