@@ -231,7 +231,15 @@ def main():
     p_net.set_use_two_entropy_coders(use_two)
 
     rng = np.random.default_rng(0)
-    base = rng.random((1, height, width, 3), dtype=np.float32)
+    if ckpt_i:
+        # trained-checkpoint runs need CODABLE content: a trained model
+        # prices uniform noise at ~8 bpp, which overflows the staging
+        # regrow ladder and measures retry thrash, not codec speed.
+        # The flat-bank surrogate below was calibrated against noise.
+        from opendcvc_tpu.eval.rd_evidence import synthetic_images
+        base = synthetic_images(1, height, seed=0, width=width)[0]
+    else:
+        base = rng.random((1, height, width, 3), dtype=np.float32)
 
     def frame(t):
         x = np.roll(base, 4 * t, axis=2)
