@@ -215,7 +215,22 @@ def main():
         q_scale_i = float(os.environ.get("BENCH_Q_SCALE_I", 0.2))
         i_net.params["q_scale_enc"] = jnp.ones_like(q) * q_scale_i
         i_net.params["q_scale_dec"] = jnp.ones_like(q)
-    i_net.update(force_zero_thres=fz)
+    if ckpt_i:
+        # trained checkpoints operate near ~0.5 bpp at mid QPs
+        # (docs/rd_evidence_r4_full.json); the default staging budget
+        # then overflows and every intra batch pays regrow-ladder
+        # recompiles (docs/bench_r4_ckpt.json) — size the INTRA staging
+        # for trained statistics, restoring the default for the P-net
+        _bps_prev = os.environ.get("OPENDCVC_TPU_EC_BPS")
+        os.environ["OPENDCVC_TPU_EC_BPS"] = os.environ.get(
+            "BENCH_CKPT_EC_BPS", "0.9")
+        i_net.update(force_zero_thres=fz)
+        if _bps_prev is None:
+            del os.environ["OPENDCVC_TPU_EC_BPS"]
+        else:
+            os.environ["OPENDCVC_TPU_EC_BPS"] = _bps_prev
+    else:
+        i_net.update(force_zero_thres=fz)
     p_net = DMC(dtype=dtype)
     p_net.init_params(seed=1)
     # moderate symbol magnitudes for the entropy-coding load
