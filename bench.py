@@ -224,11 +224,13 @@ def main():
         _bps_prev = os.environ.get("OPENDCVC_TPU_EC_BPS")
         os.environ["OPENDCVC_TPU_EC_BPS"] = os.environ.get(
             "BENCH_CKPT_EC_BPS", "0.9")
-        i_net.update(force_zero_thres=fz)
-        if _bps_prev is None:
-            del os.environ["OPENDCVC_TPU_EC_BPS"]
-        else:
-            os.environ["OPENDCVC_TPU_EC_BPS"] = _bps_prev
+        try:
+            i_net.update(force_zero_thres=fz)
+        finally:
+            if _bps_prev is None:
+                del os.environ["OPENDCVC_TPU_EC_BPS"]
+            else:
+                os.environ["OPENDCVC_TPU_EC_BPS"] = _bps_prev
     else:
         i_net.update(force_zero_thres=fz)
     p_net = DMC(dtype=dtype)

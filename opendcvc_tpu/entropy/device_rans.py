@@ -559,9 +559,15 @@ def fetch_window(packed, w, cap, tail):
 
 
 def slim_enabled():
-    import os
-    return os.environ.get("OPENDCVC_TPU_EC_SLIM", "1") \
-        not in ("0", "false", "False")
+    from ..utils.common import env_flag
+    return env_flag("OPENDCVC_TPU_EC_SLIM", default=True)
+
+
+# observability: window misses cost one full staging fetch each (the
+# documented fallback) — sustained misses mean the adaptive window is
+# being defeated (e.g. per-scene content changes) and show up here
+# instead of silently doubling link traffic
+SLIM_STATS = {"fetches": 0, "misses": 0}
 
 
 def fetch_w_for(windows, cap):
@@ -608,11 +614,13 @@ def slim_fetch(windows, packed, lanes, cap, tail_extra=2):
             return arr
         batched = arr.ndim == 2
         rows = arr if batched else arr[None]
+        SLIM_STATS["fetches"] += 1
         out, full = [], None
         for i in range(rows.shape[0]):
             r = restore_window(rows[i], w, cap, lanes, tail)
             if r is None:
                 if full is None:
+                    SLIM_STATS["misses"] += 1
                     full = np.asarray(_jax.device_get(packed))
                     if not batched:
                         full = full[None]

@@ -316,8 +316,8 @@ def _use_pallas_ec():
     materialization + lost fusion) costs more than it saves — 26.8 ms
     vs 17.3 ms full-megastage device time — so the XLA scan stays the
     default until the megastage itself moves into the kernel."""
-    v = os.environ.get("OPENDCVC_TPU_PALLAS_EC")
-    return v is not None and v not in ("0", "false", "False")
+    from ..utils.common import env_flag
+    return env_flag("OPENDCVC_TPU_PALLAS_EC")
 
 
 def _cm_flat(plane):
@@ -738,8 +738,8 @@ class DMC:
         self._j_recon_x = jax.jit(_stage_recon_x)
         self._j_pack_all = jax.jit(_stage_pack_all)
         # device-side entropy coding (tpu-lane v2 format): opt-in
-        self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
-            not in ("0", "false", "False")
+        from ..utils.common import env_flag
+        self.device_ec = env_flag("OPENDCVC_TPU_DEVICE_EC")
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -956,8 +956,8 @@ class DMC:
         handful of compiled configs; OPENDCVC_TPU_EC_SKIP_FRAC sets the
         assumed survivor fraction (the ladder regrows from the in-graph
         survivor count when a frame beats the assumption)."""
-        if fz is None or os.environ.get(
-                "OPENDCVC_TPU_EC_SKIP_COMPACT", "0") in ("0", "false"):
+        from ..utils.common import env_flag
+        if fz is None or not env_flag("OPENDCVC_TPU_EC_SKIP_COMPACT"):
             return 0
         frac = float(os.environ.get("OPENDCVC_TPU_EC_SKIP_FRAC", 0.5))
         kyc = min(k_y, -(-int(np.ceil(k_y * frac)) // 8) * 8)

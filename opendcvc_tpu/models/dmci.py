@@ -464,8 +464,8 @@ class DMCI:
 
         # device-side entropy coding (tpu-lane containers): opt-in; the
         # lane layout helpers are shared with the video codec
-        self.device_ec = os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
-            not in ("0", "false", "False")
+        from ..utils.common import env_flag
+        self.device_ec = env_flag("OPENDCVC_TPU_DEVICE_EC")
         self._j_compress_frame = jax.jit(
             _compress_frame_i, static_argnums=(4, 5, 6, 7, 8, 9, 10))
         self._j_decompress_frame = jax.jit(

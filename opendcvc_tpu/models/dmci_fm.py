@@ -298,8 +298,8 @@ class DMCIFM:
         self._j_recon = jax.jit(_stage_recon)
 
         import os as _os
-        self.device_ec = _os.environ.get("OPENDCVC_TPU_DEVICE_EC", "0") \
-            not in ("0", "false", "False")
+        from ..utils.common import env_flag
+        self.device_ec = env_flag("OPENDCVC_TPU_DEVICE_EC")
         self.ec_lanes = int(_os.environ.get("OPENDCVC_TPU_EC_LANES",
                                             4096))
         self.ec_bps = float(_os.environ.get("OPENDCVC_TPU_EC_BPS", 0.5))

@@ -217,12 +217,21 @@ def make_schedule(kind, base_lr, total_steps, warmup_steps=0, **kw):
 
 
 def make_optimizer(base_lr=1e-4, schedule="constant", total_steps=1_000_000,
-                   warmup_steps=0, grad_clip=1.0, **kw):
+                   warmup_steps=0, grad_clip=1.0, plateau=None, **kw):
+    """plateau: optional dict(factor=0.5, patience=10, ...) appending a
+    reduce-on-plateau scaler after Adam (the reference's
+    ReduceLROnPlateau option, train_dcvc_sq_2to7_data_ddp.py:709-745).
+    The resulting tx.update requires `value=<monitored loss>`; pass
+    plateau_value to make_train_step-produced steps (threaded through
+    as an extra arg) or call tx.update yourself."""
     sched = make_schedule(schedule, base_lr, total_steps, warmup_steps, **kw)
-    tx = optax.chain(
+    parts = [
         optax.clip_by_global_norm(grad_clip),
         optax.adam(sched),
-    )
+    ]
+    if plateau is not None:
+        parts.append(optax.contrib.reduce_on_plateau(**plateau))
+    tx = optax.chain(*parts)
     return tx
 
 
@@ -231,7 +240,8 @@ def make_optimizer(base_lr=1e-4, schedule="constant", total_steps=1_000_000,
 # ---------------------------------------------------------------------------
 
 def make_train_step(loss_fn, tx, mesh=None, donate=True,
-                    compute_dtype=None, grad_transform=None):
+                    compute_dtype=None, grad_transform=None,
+                    plateau=False):
     """Returns jitted step(params, opt_state, batch, qp, rng).
 
     With a mesh, the batch is sharded over the 'data' axis and params are
@@ -262,7 +272,13 @@ def make_train_step(loss_fn, tx, mesh=None, donate=True,
             grad_target, has_aux=True)(params, batch, qp, rng)
         if grad_transform is not None:
             grads = grad_transform(grads)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        if plateau:
+            # reduce_on_plateau monitors the (accumulated) loss; optax
+            # chains with extra-args transforms accept the kwarg
+            updates, opt_state = tx.update(grads, opt_state, params,
+                                           value=loss)
+        else:
+            updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 

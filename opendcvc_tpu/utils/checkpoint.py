@@ -40,3 +40,49 @@ def load_params(path):
     if "params" in payload:
         return jax.tree_util.tree_map(lambda a: a, payload["params"])
     return payload
+
+
+# ---------------------------------------------------------------------------
+# full training-state checkpoints (reference bundles epoch/best_loss/
+# optimizer/scheduler in one .pth, train_dcvc_sq_2to7_data_ddp.py:894-899,
+# and resumes all of them, :654-693 — params-only resume restarts Adam
+# moments and the schedule from zero, visibly kinking the loss curve)
+# ---------------------------------------------------------------------------
+
+def save_train_state(path, params, opt_state, step, extra=None):
+    """Bundle params + optimizer state + step counter in one msgpack.
+
+    The optimizer state (an optax NamedTuple pytree) is flattened to a
+    nested dict via flax.serialization.to_state_dict; restoring needs a
+    template built by tx.init(params) (same optimizer config)."""
+    from flax import serialization
+    payload = {
+        "params": _to_numpy(params),
+        "opt_state": _to_numpy(serialization.to_state_dict(opt_state)),
+        "step": np.asarray(step, np.int64),
+    }
+    if extra is not None:
+        payload["extra"] = _to_numpy(extra)
+    data = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_train_state(path, opt_state_template):
+    """Restore (params, opt_state, step, extra) saved by
+    save_train_state.  opt_state_template = tx.init(params_like) for the
+    SAME optimizer chain; dtypes/structure come from the template so
+    the restored state is directly usable by tx.update."""
+    from flax import serialization
+    payload = load_checkpoint(path)
+    if "opt_state" not in payload:
+        raise ValueError(f"{path} is a params-only checkpoint; use "
+                         "load_checkpoint/load_params")
+    params = payload["params"]
+    opt_state = serialization.from_state_dict(
+        opt_state_template, payload["opt_state"])
+    step = int(payload["step"])
+    return params, opt_state, step, payload.get("extra")

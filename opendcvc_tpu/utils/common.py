@@ -11,6 +11,16 @@ def str2bool(v):
     return str(v).lower() in ("yes", "y", "true", "t", "1")
 
 
+def env_flag(name, default=False):
+    """Uniform boolean env-flag parsing for every OPENDCVC_TPU_* switch:
+    unset -> default; set -> false only for the explicit off spellings
+    ('', '0', 'false', 'no', any case)."""
+    v = os.environ.get(name)
+    if v is None:
+        return bool(default)
+    return v.strip().lower() not in ("", "0", "false", "no")
+
+
 def set_deterministic_env():
     """Pin the host-side RNGs; XLA itself is deterministic for our graphs
     (no autotuned nondeterministic reductions in the codec path)."""

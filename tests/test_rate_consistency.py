@@ -74,13 +74,19 @@ def test_dmci_estimate_matches_stream_trained():
 
 
 def test_1080p_sweep_artifact_inside_reference_bound():
-    """Regression on the committed true-1080p sweep artifact: the
-    reference requires <0.5% estimate/stream agreement at 1080p for
-    trained models (DCVC-TCM README.md:48); the round-4 measurement
-    of the tiny checkpoint at 1920x1080 recorded 1.0003-1.0015
-    (docs/rd_evidence_r4_1080p.json).  Regenerate with
-    `python -m opendcvc_tpu.eval.rd_evidence --ckpt
-    docs/dmci_tiny_rd.msgpack --size 1080 --width 1920 ...`."""
+    """Regression pin on the committed true-1080p sweep artifact.
+
+    The reference REPORTS (as an observation about its own codec, not
+    a requirement) that real-bitstream overhead vs the entropy
+    estimate is 'usually less than 0.5%' at 1080p (DCVC-TCM
+    README.md:48); our round-4 measurement of the tiny checkpoint at
+    1920x1080 recorded 1.0003-1.0015 (docs/rd_evidence_r4_1080p.json),
+    i.e. inside that observed envelope.  NOTE this test pins the
+    checked-in artifact — it can only fail when the artifact is
+    regenerated (`python -m opendcvc_tpu.eval.rd_evidence --ckpt
+    docs/dmci_tiny_rd.msgpack --size 1080 --width 1920 ...`); it
+    guards the artifact/claim from drifting apart, not the live
+    codec."""
     import json
     import os
     path = os.path.join(os.path.dirname(__file__), "..", "docs",

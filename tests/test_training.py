@@ -209,3 +209,78 @@ def test_graft_entry_compiles():
 def test_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# full training-state checkpoints + kill-and-resume (reference bundles
+# epoch/optimizer/scheduler in one .pth and resumes all of them,
+# train_dcvc_sq_2to7_data_ddp.py:894-899, :654-693)
+# ---------------------------------------------------------------------------
+
+def test_train_state_checkpoint_roundtrip(tmp_path, dmci_params):
+    from opendcvc_tpu.utils.checkpoint import (save_train_state,
+                                               load_train_state)
+    tx = make_optimizer(base_lr=1e-4, schedule="cosine", total_steps=100)
+    opt_state = tx.init(dmci_params)
+    path = str(tmp_path / "state.msgpack")
+    save_train_state(path, dmci_params, opt_state, 42,
+                     extra={"model_kwargs": {}, "seed": 7})
+    params2, opt2, step, extra = load_train_state(path, opt_state)
+    assert step == 42
+    assert int(extra["seed"]) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(dmci_params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(opt2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params-only loader must reject/flag nothing silently
+    from opendcvc_tpu.utils.checkpoint import load_checkpoint
+    assert "opt_state" in load_checkpoint(path)
+
+
+@pytest.mark.slow
+def test_campaign_kill_and_resume_reproduces(tmp_path):
+    """A killed-and-resumed campaign must land on EXACTLY the same
+    params as the uninterrupted run: the checkpoint bundles Adam
+    moments + step, and the data/qp stream is (seed, step)-derived."""
+    from opendcvc_tpu.training.campaign import train_dmci_campaign
+    from opendcvc_tpu.utils.checkpoint import load_checkpoint
+    from opendcvc_tpu.eval.rd_evidence import TINY_KW
+    kw = dict(total_steps=6, seed=3, bank_images=4, bank_size=96,
+              stages=((1.0, 64, 2),), save_every=3, log_every=100,
+              eval_every=0, model_kw=TINY_KW)
+    a = str(tmp_path / "a.msgpack")
+    train_dmci_campaign(a, **kw)                      # uninterrupted
+    b = str(tmp_path / "b.msgpack")
+    train_dmci_campaign(b, stop_after=3, **kw)        # "killed" at 3
+    train_dmci_campaign(b, resume=True, **kw)         # resumed 3->6
+    pa = load_checkpoint(a)
+    pb = load_checkpoint(b)
+    assert int(pa["step"]) == int(pb["step"]) == 6
+    la = jax.tree_util.tree_leaves(pa["params"])
+    lb = jax.tree_util.tree_leaves(pb["params"])
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_plateau_optimizer_reduces_lr():
+    """make_optimizer(plateau=...) appends reduce-on-plateau (the
+    reference's ReduceLROnPlateau, train_dcvc_sq_2to7_data_ddp.py:
+    709-745): a non-improving monitored loss shrinks the update scale
+    by `factor` after `patience` steps."""
+    import optax
+    tx = make_optimizer(base_lr=1.0, schedule="constant",
+                        plateau=dict(factor=0.5, patience=2,
+                                     cooldown=0, accumulation_size=1))
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    scales = []
+    for i in range(8):
+        # loss plateaus at 1.0 -> after `patience` the scale halves
+        updates, state = tx.update(grads, state, params,
+                                   value=jnp.float32(1.0))
+        scales.append(float(jnp.abs(updates["w"][0])))
+    assert scales[-1] < scales[0] * 0.75, scales
