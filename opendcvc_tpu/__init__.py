@@ -56,4 +56,24 @@ if "xla_allow_excess_precision" not in _flags:
                 "any jax operation.", RuntimeWarning, stacklevel=2)
     except ImportError:  # pragma: no cover - jax internals moved
         pass
+
+# Persistent XLA compilation cache for EVERY entry point (bench, tools,
+# eval CLIs — not just tests/graft): the 1080p megastages take 20-40 s
+# each to compile and are recompiled identically run after run without
+# this.  jax.config.update is authoritative even when a sitecustomize
+# pre-imported jax (env vars alone would bind too late there).
+# Opt out with OPENDCVC_TPU_NO_COMPILE_CACHE=1.
+if _os.environ.get("OPENDCVC_TPU_NO_COMPILE_CACHE") not in ("1", "true"):
+    try:
+        import jax as _jax
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            "/tmp/opendcvc_tpu_jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                           0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 del _os, _flags
