@@ -358,6 +358,21 @@ class DMCHEM:
         return (np.asarray(self.params["y_q_scale"]).reshape(-1),
                 np.asarray(self.params["mv_y_q_scale"]).reshape(-1))
 
+    def get_interpolated_q_scales(self, rate_num):
+        """Continuous-rate ladder: log-interpolate rate_num points
+        between the extreme trained anchors, descending (highest rate
+        first), for both y and mv — the reference derives arbitrary
+        rate counts from the 4 trained anchors the same way in its
+        harness (DCVC-HEM/test_video.py:273-311 via interpolate_log).
+        compress()/decompress() accept any float in the spanned range,
+        so every rung is a valid operating point."""
+        from ..utils.stream_helper import interpolate_log
+        y, mv = self.get_q_scales()
+        y_l = interpolate_log(float(y.min()), float(y.max()), rate_num)
+        mv_l = interpolate_log(float(mv.min()), float(mv.max()),
+                               rate_num)
+        return y_l, mv_l
+
     # -- dual prior drivers (fused eager-free stages) --------------------------
 
     def _compress_2x(self, y, q_step, scales, means, spatial_fn, outer_q):

@@ -79,7 +79,8 @@ def main():
     import jax.numpy as jnp
     from opendcvc_tpu.models.dmci import dmci_init
     from opendcvc_tpu.models.dmc import dmc_init
-    from opendcvc_tpu.parallel.mesh import make_mesh
+    from opendcvc_tpu.parallel.mesh import (make_mesh,
+                                            maybe_init_distributed)
     from opendcvc_tpu.training.train import (
         make_dmci_loss, make_dmc_loss, make_dcvc_loss, make_tcm_loss,
         dcvc_stage_grad_transform, make_optimizer, make_train_step)
@@ -87,6 +88,10 @@ def main():
                                             SyntheticVideoDataset)
     from opendcvc_tpu.utils import checkpoint as ckpt
 
+    # multi-host: OPENDCVC_TPU_DIST=1 (+ coordinator/rank env) joins
+    # the global runtime BEFORE the first jax.devices() call, so the
+    # mesh below spans every host's chips
+    maybe_init_distributed()
     n_dev = len(jax.devices())
     dp = n_dev if args.data_axis < 0 else args.data_axis
     mesh = make_mesh(jax.devices(), axis_shapes=(dp, n_dev // dp))
