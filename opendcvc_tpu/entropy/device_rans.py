@@ -34,11 +34,25 @@ it later.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _scan_unroll(side):
+    """lax.scan unroll depth for the lane rANS scans, read at trace
+    time.  The scans are per-step-overhead bound (~16-25 us/step on a
+    tunneled v5e); unrolling amortizes it without changing the coded
+    bytes (scan semantics are unchanged, only the compiled schedule).
+    Standalone sweep (tools/exp_scan.py, v5e, 4096 lanes x 268 steps):
+    encode 6.68 ms @u2 -> 6.10 @u8; decode 5.37 @u2 -> 5.12 @u4.
+    Override with OPENDCVC_TPU_EC_UNROLL_ENC / _DEC.  Default stays 2:
+    deeper unroll is a measured in-situ win only when the (server-side,
+    on tunneled devices) recompile it forces is affordable."""
+    return int(os.environ.get(f"OPENDCVC_TPU_EC_UNROLL_{side}", 2))
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +190,8 @@ def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
         state = jnp.where(is_skip, state, state2)
         return (state, cursors, buf), None
 
-    carry, _ = lax.scan(body, carry, (symbols.T, rows.T), unroll=2)
+    carry, _ = lax.scan(body, carry, (symbols.T, rows.T),
+                        unroll=_scan_unroll("ENC"))
     return carry
 
 
@@ -785,7 +800,8 @@ def _decode_scan_carry(data, rows, cum_hl_sub, carry):
         ptr = ptr + need.astype(jnp.int32)
         return (state, ptr), jnp.where(is_skip, 0, sym - 128)
 
-    carry, out = lax.scan(body, carry, rows.T, unroll=2)
+    carry, out = lax.scan(body, carry, rows.T,
+                          unroll=_scan_unroll("DEC"))
     return out.T, carry  # (L, K)
 
 

@@ -326,10 +326,15 @@ def test_dmc_device_ec_pallas_matches_xla(fz):
     """The Pallas megastage path (OPENDCVC_TPU_PALLAS_EC=1) must emit
     byte-identical streams and decode to identical frames as the XLA
     lax.scan path — with and without force_zero_thres (skip-lane
-    compaction rides SKIP_ROW through the kernels).  Runs the kernels
-    in interpret mode so the CPU gate covers them; the on-hardware gate
-    (OPENDCVC_TPU_TEST_PLATFORM=tpu) compiles the same code via
-    Mosaic."""
+    compaction rides SKIP_ROW through the kernels).  Interpret mode is
+    forced UNCONDITIONALLY (also on the hardware gate): Mosaic
+    compilation of the kernels fused inside the megastage hangs the
+    v5e compiler (>10 min, docs/hw_gate_r4.md) and the fused path is
+    not a production configuration — the XLA scan measured faster
+    in-situ (models/dmc.py _use_pallas_ec docstring).  The kernels'
+    Mosaic compilation stays qualified STANDALONE on hardware via
+    tests/test_pallas_rans.py; this test pins the byte-parity contract
+    of the fused wiring."""
     from opendcvc_tpu.models.dmc import DMC
     rng = np.random.default_rng(11)
     x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
@@ -379,8 +384,9 @@ def test_dmc_device_ec_pallas_matches_xla(fz):
 def test_dmci_device_ec_pallas_matches_xla(fz):
     """Intra megastage: the Pallas path (all five planes in one fused
     kernel) must emit byte-identical streams and frames as the XLA
-    scans, with and without skip-lane compaction (interpret mode on
-    CPU; Mosaic on the hardware gate)."""
+    scans, with and without skip-lane compaction.  Interpret-only by
+    design, including on the hardware gate — see
+    test_dmc_device_ec_pallas_matches_xla."""
     from opendcvc_tpu.models.dmci import DMCI
     rng = np.random.default_rng(13)
     x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
