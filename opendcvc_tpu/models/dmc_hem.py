@@ -367,11 +367,15 @@ class DMCHEM:
         compress()/decompress() accept any float in the spanned range,
         so every rung is a valid operating point."""
         from ..utils.stream_helper import interpolate_log
+
+        def ladder(a):
+            lo, hi = float(a.min()), float(a.max())
+            if lo >= hi:  # degenerate anchors (e.g. untrained init)
+                return np.full(rate_num, hi)
+            return np.asarray(interpolate_log(lo, hi, rate_num))
+
         y, mv = self.get_q_scales()
-        y_l = interpolate_log(float(y.min()), float(y.max()), rate_num)
-        mv_l = interpolate_log(float(mv.min()), float(mv.max()),
-                               rate_num)
-        return y_l, mv_l
+        return ladder(y), ladder(mv)
 
     # -- dual prior drivers (fused eager-free stages) --------------------------
 

@@ -106,6 +106,10 @@ def bench_hem(h, w, n):
     xs = _frames(h, w, n, seed=2)
     net = DMCHEM()
     net.init_params(seed=0)
+    # untrained init anchors are flat; spread them so the continuous
+    # ladder exercises a real non-anchor operating point
+    net.params["y_q_scale"] = jnp.asarray([2.0, 1.2, 0.8, 0.5])
+    net.params["mv_y_q_scale"] = jnp.asarray([2.0, 1.2, 0.8, 0.5])
     net.update()
     y_l, mv_l = net.get_interpolated_q_scales(4)
     yq, mvq = float(y_l[1]), float(mv_l[1])
