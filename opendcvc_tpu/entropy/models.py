@@ -74,7 +74,12 @@ def bit_estimator_cdf(params, x, qp):
 
 
 def bit_estimator_bits(params, z, qp):
-    """Differentiable bit estimate for training: -log2(cdf(z+.5)-cdf(z-.5))."""
+    """Differentiable bit estimate for training: -log2(cdf(z+.5)-cdf(z-.5)).
+
+    Computed in float32 even under the bf16 AMP policy — the CDF
+    difference cancels catastrophically at bf16's ~3 significant
+    digits."""
+    z = z.astype(jnp.float32)
     upper = bit_estimator_cdf(params, z + 0.5, qp)
     lower = bit_estimator_cdf(params, z - 0.5, qp)
     probs = jnp.clip(upper - lower, 1e-9, None)
@@ -328,9 +333,13 @@ class GaussianEncoder:
 
 def gaussian_bits(y_res, scales):
     """Differentiable rate estimate for training: bits of round(y_res)
-    under N(0, scales) with half-integer integration."""
-    scales = jnp.clip(scales, 0.11, None)
-    y = y_res
+    under N(0, scales) with half-integer integration.
+
+    Always computed in float32: ndtr has no bf16 kernel, and under the
+    bf16 AMP policy the rate term of the loss should stay full
+    precision anyway (the probability differences underflow in bf16)."""
+    scales = jnp.clip(scales.astype(jnp.float32), 0.11, None)
+    y = y_res.astype(jnp.float32)
     upper = jax.scipy.stats.norm.cdf(y + 0.5, 0.0, scales)
     lower = jax.scipy.stats.norm.cdf(y - 0.5, 0.0, scales)
     probs = jnp.clip(upper - lower, 1e-9, None)

@@ -67,7 +67,8 @@ def natural_images(n, size, seed=0, width=None):
         sharp = rng.uniform(30, 120)
         region = np.zeros((h, w), np.float32)
         for lv in levels:
-            region += 1.0 / (1.0 + np.exp(-sharp * (seg_f[i] - lv)))
+            arg = np.clip(sharp * (seg_f[i] - lv), -60.0, 60.0)
+            region += 1.0 / (1.0 + np.exp(-arg))
         base = rng.uniform(0.25, 0.75)
         reg_gain = rng.uniform(0.05, 0.2)
         L = base + L + (region - region.mean()) * reg_gain
@@ -118,6 +119,40 @@ def natural_pairs(n, size, seed=0, max_shift=4):
         pairs.append((ref[None].astype(np.float32),
                       cur[None].astype(np.float32)))
     return pairs
+
+
+def natural_seqs(n, size, t=3, seed=0, max_shift=4):
+    """n motion sequences, each (t, size, size, 3) float32 in [0,1].
+
+    Frame 0 is the reference; later frames accumulate global translation
+    (random walk over a larger canvas), per-frame local elastic warp,
+    brightness drift, and fresh sensor noise — the temporal-innovation
+    statistics a cascaded P-codec trains on (the reference trains on
+    Vimeo septuplets, train_dcvc_sq_2to7_data_ddp.py:31-96)."""
+    margin = max_shift * max(t - 1, 1)
+    imgs = natural_images(n, size + 2 * margin, seed)
+    rng = np.random.default_rng(seed + 999)
+    seqs = []
+    for im in imgs:
+        im = im[0]
+        oy = ox = margin
+        frames = [im[oy:oy + size, ox:ox + size].copy()]
+        for _ in range(t - 1):
+            dy, dx = (int(v) for v in rng.integers(-max_shift,
+                                                   max_shift + 1, 2))
+            oy = int(np.clip(oy + dy, 0, 2 * margin))
+            ox = int(np.clip(ox + dx, 0, 2 * margin))
+            cur = im[oy:oy + size, ox:ox + size].copy()
+            wob = _fractal_fields(rng, 1, size, size, 2.0, 2.6)[0]
+            shift_rows = np.clip(np.round(wob * 0.8), -1, 1).astype(int)
+            idx = (np.arange(size)[:, None] + shift_rows) % size
+            cur = cur[idx, np.arange(size)[None, :], :]
+            cur = np.clip(cur * rng.uniform(0.98, 1.02)
+                          + rng.normal(0, 0.004, cur.shape),
+                          0, 1).astype(np.float32)
+            frames.append(cur)
+        seqs.append(np.stack(frames))
+    return seqs
 
 
 class ImageBank:
@@ -173,6 +208,52 @@ class PairBank:
         out = np.empty((batch, 2, crop, crop, 3), np.float32)
         for j in range(batch):
             c = self.bank[idx[j], :, ys[j]:ys[j] + crop,
+                          xs[j]:xs[j] + crop]
+            if flips[j] & 1:
+                c = c[:, :, ::-1]
+            if flips[j] & 2:
+                c = c[:, ::-1]
+            out[j] = c.astype(np.float32) / 255.0
+        return out
+
+
+class SeqBank:
+    """Crop/flip batches of t-frame motion sequences for cascaded
+    P-frame training.  Returns (batch, t, crop, crop, 3); frame 0 is
+    the reference.
+
+    `replace_refs(fn)` rewrites every sequence's frame 0 through a
+    callable (e.g. a frozen trained I-codec recon) — the reference
+    precomputes exactly this with its frozen I-model
+    (DCVC-family/DCVC/preprocessing.py)."""
+
+    def __init__(self, n_seqs=384, size=256, t=3, seed=0):
+        seqs = natural_seqs(n_seqs, size, t=t, seed=seed)
+        self.bank = np.stack([
+            np.round(s * 255).astype(np.uint8) for s in seqs])
+        self.size = size
+        self.t = t
+
+    def replace_refs(self, fn, batch=8):
+        """fn: (b, size, size, 3) float32 -> recon float32 in [0,1];
+        applied over all frame-0 refs in batches."""
+        n = self.bank.shape[0]
+        for lo in range(0, n, batch):
+            refs = self.bank[lo:lo + batch, 0].astype(np.float32) / 255.0
+            recon = np.asarray(fn(refs))
+            self.bank[lo:lo + batch, 0] = np.round(
+                np.clip(recon, 0, 1) * 255).astype(np.uint8)
+
+    def sample(self, rng, batch, crop, t=None):
+        n, s = self.bank.shape[0], self.size
+        t = self.t if t is None else min(t, self.t)
+        idx = rng.integers(0, n, batch)
+        ys = rng.integers(0, s - crop + 1, batch)
+        xs = rng.integers(0, s - crop + 1, batch)
+        flips = rng.integers(0, 4, batch)
+        out = np.empty((batch, t, crop, crop, 3), np.float32)
+        for j in range(batch):
+            c = self.bank[idx[j], :t, ys[j]:ys[j] + crop,
                           xs[j]:xs[j] + crop]
             if flips[j] & 1:
                 c = c[:, :, ::-1]

@@ -6,14 +6,41 @@ dicts of arrays so serialization is structural and lossless.
 """
 
 import os
+from collections import defaultdict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+    """Device->host fetch of a pytree with ONE transfer per dtype.
+
+    Remote-attached devices (the tunneled TPU) pay ~30 ms latency per
+    synchronous per-array fetch; a full train-state save has ~2k leaves,
+    which turns save_every into a minute-long stall.  Concatenating the
+    raveled leaves on-device and fetching one buffer per dtype keeps the
+    fetch exact (no dtype staging) and O(dtypes) instead of O(leaves)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    dev_idx = [i for i, l in enumerate(leaves)
+               if isinstance(l, jax.Array) and l.size > 0]
+    out = [np.asarray(l) if i not in set(dev_idx) else None
+           for i, l in enumerate(leaves)]
+    groups = defaultdict(list)
+    for i in dev_idx:
+        groups[leaves[i].dtype].append(i)
+    for dt, idxs in groups.items():
+        flat = jax.jit(
+            lambda ls: jnp.concatenate([jnp.ravel(l) for l in ls]))(
+                [leaves[i] for i in idxs])
+        host = np.asarray(flat)
+        off = 0
+        for i in idxs:
+            n = leaves[i].size
+            out[i] = host[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def save_params(path, params, extra=None):

@@ -284,3 +284,48 @@ def test_plateau_optimizer_reduces_lr():
                                    value=jnp.float32(1.0))
         scales.append(float(jnp.abs(updates["w"][0])))
     assert scales[-1] < scales[0] * 0.75, scales
+
+
+def test_natural_seqs_and_seqbank():
+    """Motion sequences: correlated consecutive frames, crop/flip
+    batches, frozen-I ref replacement (the reference precomputes refs
+    with its I-model, DCVC-family/DCVC/preprocessing.py)."""
+    from opendcvc_tpu.training.syndata import natural_seqs, SeqBank
+    seqs = natural_seqs(2, 64, t=3, seed=5)
+    assert seqs[0].shape == (3, 64, 64, 3)
+    d01 = float(np.abs(seqs[0][0] - seqs[0][1]).mean())
+    assert 1e-3 < d01 < 0.25  # moved, but same content
+    bank = SeqBank(n_seqs=3, size=96, t=3, seed=6)
+    r = np.random.default_rng(0)
+    assert bank.sample(r, 4, 64).shape == (4, 3, 64, 64, 3)
+    assert bank.sample(r, 2, 64, t=2).shape == (2, 2, 64, 64, 3)
+    before = bank.bank.copy()
+    bank.replace_refs(lambda x: np.clip(x + 0.05, 0, 1), batch=2)
+    assert (bank.bank[:, 0].astype(int)
+            - before[:, 0].astype(int)).mean() > 5
+    # non-ref frames untouched
+    np.testing.assert_array_equal(bank.bank[:, 1:], before[:, 1:])
+
+
+def test_dmc_campaign_smoke(tmp_path):
+    """One full-size DMC campaign step with a frozen (tiny) DMCI ref
+    recon: refs are rewritten through the I-model, the cascaded loss
+    step runs, and the train-state checkpoint is written."""
+    from opendcvc_tpu.training.campaign import train_dmc_campaign
+    from opendcvc_tpu.eval.rd_evidence import TINY_KW
+    from opendcvc_tpu.models.dmci import dmci_init
+    from opendcvc_tpu.models import common as C
+    from opendcvc_tpu.utils import checkpoint as ckpt
+
+    ipath = str(tmp_path / "i.msgpack")
+    ckpt.save_params(ipath, C.run_init(
+        lambda k: dmci_init(k, **TINY_KW), jax.random.PRNGKey(0)))
+    out = str(tmp_path / "dmc.msgpack")
+    train_dmc_campaign(out, dmci_ckpt=ipath, total_steps=2,
+                       stop_after=1, bank_seqs=4, bank_size=96,
+                       seq_t=2, stages=((1.0, 64, 1, 1),),
+                       save_every=1, log_every=1, eval_every=0)
+    payload = ckpt.load_checkpoint(out)
+    assert int(payload["step"]) == 1
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(payload["params"]))
