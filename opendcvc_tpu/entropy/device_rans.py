@@ -159,6 +159,9 @@ def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
     the body is HBM-bound on its (L, 257) temporaries), and the emitted
     word goes through a small (L, MW) one-hot accumulate (cursor
     positions are strictly increasing, so add == set)."""
+    from ..utils.common import env_flag
+    if env_flag("OPENDCVC_TPU_EC_ENC_STREAM", default=False):
+        return _encode_scan_stream(symbols, rows, cum_hl_sub, carry)
     max_words = carry[2].shape[1]
     col = jnp.arange(max_words, dtype=jnp.int32)[None, :]
     bins = jnp.arange(256, dtype=jnp.int32)[None, :]
@@ -193,6 +196,62 @@ def _encode_scan_carry(symbols, rows, cum_hl_sub, carry):
     carry, _ = lax.scan(body, carry, (symbols.T, rows.T),
                         unroll=_scan_unroll("ENC"))
     return carry
+
+
+def _encode_scan_stream(symbols, rows, cum_hl_sub, carry):
+    """Emission-streaming variant of _encode_scan_carry (same contract,
+    bit-identical output; selected by OPENDCVC_TPU_EC_ENC_STREAM).
+
+    The classic body carries the (L, MW) staging buffer through the
+    scan and rewrites it every step — ~2·L·MW·4 bytes of HBM traffic
+    PER STEP (the measured floor of the encode scan is this buffer, not
+    the rANS math).  Here the scan carries only (state, cursors) and
+    streams each step's (word, cond) out as ys; the staging rectangle
+    is assembled afterwards with ONE scatter (unique destinations —
+    cursor positions are strictly increasing per lane, and sub-scan
+    positions are disjoint because the carried cursors only grow, so
+    add == set into the shared buffer)."""
+    state0, cursors0, buf = carry
+    L, max_words = buf.shape
+    bins = jnp.arange(256, dtype=jnp.int32)[None, :]
+
+    def body(carry, xs):
+        state, cursors = carry
+        s, r = xs
+        is_skip = r == SKIP_ROW
+        hi, lo = _row_cum_lookup_hl(r, cum_hl_sub)     # (L, 257) bf16 x2
+        sel = (bins == (s + 128)[:, None]).astype(jnp.bfloat16)
+        start_i = _sel_pick_u16(sel, hi[:, :256], lo[:, :256])
+        next_i = _sel_pick_u16(sel, hi[:, 1:], lo[:, 1:])
+        start = start_i.astype(jnp.uint32)
+        freq = jnp.maximum((next_i - start_i).astype(jnp.uint32), 1)
+        cond = (state >= (freq << 16)) & ~is_skip
+        word = (state & 0xFFFF).astype(jnp.int32)
+        state1 = jnp.where(cond, state >> 16, state)
+        cursors = cursors + cond.astype(jnp.int32)
+        state2 = ((state1 // freq) << 16) + (state1 % freq) + start
+        state = jnp.where(is_skip, state, state2)
+        return (state, cursors), (word, cond)
+
+    (state, cursors), (words, conds) = lax.scan(
+        body, (state0, cursors0), (symbols.T, rows.T),
+        unroll=_scan_unroll("ENC"))
+    # words/conds are (K, L); emission position = cursor value BEFORE
+    # the increment = entry cursor + (inclusive cumsum of cond) - 1
+    pos = cursors0[None, :] + jnp.cumsum(
+        conds.astype(jnp.int32), axis=0) - 1
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    # pos >= max_words happens only when a lane overflows its staging
+    # budget (the regrow ladder detects this from cursors/lens); the
+    # classic scan's one-hot emit silently drops such words — route
+    # them to the dump slot so they can't corrupt the next lane's row
+    dst = jnp.where(conds & (pos < max_words),
+                    lane * max_words + pos, L * max_words)
+    flat = jnp.zeros((L * max_words + 1,), jnp.int32).at[
+        dst.reshape(-1)].set(words.reshape(-1), mode="drop",
+                             unique_indices=True)
+    buf = buf + flat[:L * max_words].reshape(L, max_words)
+    return (state, cursors, buf)
 
 
 def encode_carry_init(lanes, max_words):
@@ -765,6 +824,9 @@ def _decode_scan_carry(data, rows, cum_hl_sub, carry):
     6.9-7.0 ms for 272 steps at 4096 lanes); a pure-bf16 predicate
     search ties standalone but fuses pathologically inside the decode
     megastages (50 vs 24 ms/frame)."""
+    from ..utils.common import env_flag
+    if env_flag("OPENDCVC_TPU_EC_DEC_BLOCKED", default=False):
+        return _decode_scan_blocked(data, rows, cum_hl_sub, carry)
     L, MW = data.shape
     col = jnp.arange(MW, dtype=jnp.int32)[None, :]
     big = jnp.float32(1 << 17)
@@ -803,6 +865,76 @@ def _decode_scan_carry(data, rows, cum_hl_sub, carry):
     carry, out = lax.scan(body, carry, rows.T,
                           unroll=_scan_unroll("DEC"))
     return out.T, carry  # (L, K)
+
+
+def _decode_scan_blocked(data, rows, cum_hl_sub, carry, block=8):
+    """Block-refill variant of _decode_scan_carry (same contract,
+    bit-identical symbols; selected by OPENDCVC_TPU_EC_DEC_BLOCKED).
+
+    The classic body re-reads the full (L, MW) word rectangle every
+    step to pick ONE word per lane — the dominant HBM traffic of the
+    decode scan.  A lane consumes at most one word per step, so over a
+    `block` of steps it reads only from the window
+    [ptr_at_block_start, +block).  The outer scan walks blocks: one
+    fused pass over `data` refills a (L, block) chunk (all `block`
+    masked reductions share the single read), then `block` unrolled
+    inner steps pick words from the chunk with (L, block) selects —
+    (K/block)·L·MW reads instead of K·L·MW."""
+    L, MW = data.shape
+    K = rows.shape[1]
+    n_blocks = -(-K // block)
+    kp = n_blocks * block
+    rows_p = jnp.pad(rows, ((0, 0), (0, kp - K)),
+                     constant_values=SKIP_ROW)
+    rblocks = rows_p.T.reshape(n_blocks, block, L)
+    col = jnp.arange(MW, dtype=jnp.int32)[None, :]
+    jj = jnp.arange(block, dtype=jnp.int32)[None, :]
+    big = jnp.float32(1 << 17)
+
+    def step(state, ptr, ptr0, chunk, r):
+        is_skip = r == SKIP_ROW
+        hi, lo = _row_cum_lookup_hl(r, cum_hl_sub)
+        row_cum = hi.astype(jnp.float32) * 256.0 \
+            + lo.astype(jnp.float32)
+        f = (state & 0xFFFF).astype(jnp.int32)
+        ff = f.astype(jnp.float32)[:, None]
+        le = row_cum <= ff
+        sym = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+        packed = jnp.max(jnp.stack(
+            [jnp.where(le, row_cum, 0.0),
+             jnp.where(le, -big, -row_cum)], axis=1), axis=2)
+        start = packed[:, 0].astype(jnp.int32).astype(jnp.uint32)
+        freq = (-packed[:, 1] - packed[:, 0]).astype(jnp.int32) \
+            .astype(jnp.uint32)
+        state1 = jnp.where(
+            is_skip, state,
+            freq * (state >> 16) + f.astype(jnp.uint32) - start)
+        need = state1 < (1 << 16)
+        word = jnp.sum(jnp.where(jj == (ptr - ptr0)[:, None],
+                                 chunk, 0), axis=1)
+        state = jnp.where(need,
+                          (state1 << 16) | word.astype(jnp.uint32),
+                          state1)
+        ptr = ptr + need.astype(jnp.int32)
+        return state, ptr, jnp.where(is_skip, 0, sym - 128)
+
+    def body(carry, rblk):
+        state, ptr = carry
+        ptr0 = ptr
+        rel = col - ptr0[:, None]                       # (L, MW)
+        # one fused pass over data fills the whole window
+        chunk = jnp.concatenate(
+            [jnp.sum(jnp.where(rel == j, data, 0), axis=1,
+                     keepdims=True) for j in range(block)], axis=1)
+        syms = []
+        for j in range(block):
+            state, ptr, s = step(state, ptr, ptr0, chunk, rblk[j])
+            syms.append(s)
+        return (state, ptr), jnp.stack(syms)
+
+    carry, out = lax.scan(body, carry, rblocks)
+    out = out.reshape(kp, L)[:K]
+    return out.T, carry
 
 
 def _decode_scan(data, states, rows, cum_hl_sub):

@@ -74,12 +74,17 @@ TINY_KW = {"N": 96, "z_channel": 64, "enc_dec_ch": 64}
 
 
 def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
-            seed=0, width=None):
+            seed=0, width=None, gen=None):
     """QP sweep on real streams; `width` enables non-square frames
     (e.g. true 1080x1920 — frames pad to the codec's 64-alignment like
     the eval harness, PSNR is computed on the unpadded region, and
     both bpp figures count the padded pixels so the
-    stream-vs-estimate ratio is alignment-free)."""
+    stream-vs-estimate ratio is alignment-free).
+
+    `gen(n, size, seed, width=)` overrides the content source (default
+    block-texture synthetic_images; pass training.syndata.natural_images
+    for held-out natural-statistics content — use a seed disjoint from
+    the training bank's)."""
     import jax
     import jax.numpy as jnp
     from ..models.dmci import DMCI
@@ -95,7 +100,7 @@ def measure(ckpt_path, qps=(16, 26, 36, 46), size=128, n_images=4,
     net.load_params(payload["params"])
     net.update()
 
-    imgs = synthetic_images(n_images, size, seed, width=width)
+    imgs = (gen or synthetic_images)(n_images, size, seed, width=width)
     h, w = size, (size if width is None else width)
     pr, pb = CM.get_padding_size(h, w, 64)
     n_pix = (h + pb) * (w + pr)

@@ -828,3 +828,90 @@ def test_dmc_slim_window_miss_falls_back(monkeypatch):
         np.testing.assert_array_equal(full, bucketed)
     finally:
         os.environ["OPENDCVC_TPU_DEVICE_EC"] = "0"
+
+
+def test_encode_scan_stream_bit_parity(tables, monkeypatch):
+    """The emission-streaming encode scan (OPENDCVC_TPU_EC_ENC_STREAM)
+    is bit-identical to the classic carried-buffer scan, including
+    sub-scan carry continuation and SKIP_ROW passthrough lanes — the
+    post-scan scatter compaction must reproduce the exact staging
+    rectangle the serializer reads."""
+    import jax
+    from opendcvc_tpu.entropy import device_rans as dr
+
+    rng = np.random.default_rng(7)
+    L, K, NR, MW = 64, 37, 16, 31
+    cum_hl = dr._split_hi_lo_bf16(jnp.asarray(
+        np.pad(tables, ((0, 0), (0, 0)))))
+    sym = jnp.asarray(rng.integers(-40, 41, (L, K)), jnp.int32)
+    rows = np.asarray(rng.integers(0, NR, (L, K)), np.int32)
+    rows[rng.random((L, K)) < 0.1] = dr.SKIP_ROW
+    rows = jnp.asarray(rows)
+    sym2 = jnp.asarray(rng.integers(-40, 41, (L, 11)), jnp.int32)
+    rows2 = jnp.asarray(rng.integers(0, NR, (L, 11)), jnp.int32)
+
+    c0 = dr.encode_carry_init(L, MW)
+    ref = jax.jit(dr._encode_scan_carry)(sym, rows, cum_hl, c0)
+    ref2 = jax.jit(dr._encode_scan_carry)(sym2, rows2, cum_hl, ref)
+
+    monkeypatch.setenv("OPENDCVC_TPU_EC_ENC_STREAM", "1")
+    new = jax.jit(dr._encode_scan_stream)(sym, rows, cum_hl, c0)
+    new2 = jax.jit(dr._encode_scan_stream)(sym2, rows2, cum_hl, new)
+    for a, b, name in zip(ref2, new2, ("state", "cursors", "buf")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+    # and through the dispatching entry point (env-flag selection)
+    via_flag = jax.jit(dr._encode_scan_carry)(sym, rows, cum_hl, c0)
+    for a, b in zip(ref, via_flag):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_scan_blocked_bit_parity(tables, monkeypatch):
+    """The block-refill decode scan (OPENDCVC_TPU_EC_DEC_BLOCKED) is
+    bit-identical to the classic per-step-read scan, including carry
+    continuation across sub-scans, SKIP_ROW lanes, and a K that is not
+    a multiple of the block size."""
+    import jax
+    from opendcvc_tpu.entropy import device_rans as dr
+
+    rng = np.random.default_rng(11)
+    L, K, NR, MW = 64, 37, 16, 64
+    cum_hl = dr._split_hi_lo_bf16(jnp.asarray(tables))
+    # encode first so data/states are a REAL rANS stream
+    sym = jnp.asarray(rng.integers(-40, 41, (L, K)), jnp.int32)
+    rows = np.asarray(rng.integers(0, NR, (L, K)), np.int32)
+    rows[rng.random((L, K)) < 0.1] = dr.SKIP_ROW
+    rows = jnp.asarray(rows)
+    buf, lens, states = dr._encode_scan(sym, rows, cum_hl, MW)
+    # decode-order data: encoder emits reversed; mirror per lane
+    data = np.zeros((L, MW), np.int32)
+    b = np.asarray(buf)
+    ln = np.asarray(lens)
+    for l in range(L):
+        data[l, :ln[l]] = b[l, :ln[l]][::-1]
+    data = jnp.asarray(data)
+    # encoder consumed symbols reversed -> decode expects original order
+    rows_dec = rows[:, ::-1]
+    init = (jnp.asarray(states, jnp.uint32), jnp.zeros((L,), jnp.int32))
+
+    ref_syms, ref_carry = dr._decode_scan_carry(
+        data, rows_dec, cum_hl, init)
+    new_syms, new_carry = dr._decode_scan_blocked(
+        data, rows_dec, cum_hl, init)
+    np.testing.assert_array_equal(np.asarray(ref_syms),
+                                  np.asarray(new_syms))
+    for a, b2 in zip(ref_carry, new_carry):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    # and the decoded symbols invert the encode (skip lanes -> 0)
+    expect = np.array(sym[:, ::-1])
+    expect[np.asarray(rows_dec) == dr.SKIP_ROW] = 0
+    np.testing.assert_array_equal(np.asarray(ref_syms), expect)
+
+    # sub-scan continuation: split rows_dec in two and chain carries
+    monkeypatch.setenv("OPENDCVC_TPU_EC_DEC_BLOCKED", "1")
+    s1, c1 = dr._decode_scan_carry(data, rows_dec[:, :17], cum_hl, init)
+    s2, c2 = dr._decode_scan_carry(data, rows_dec[:, 17:], cum_hl, c1)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(s1), np.asarray(s2)], axis=1),
+        np.asarray(ref_syms))

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from opendcvc_tpu.entropy.device_rans import (
-    _encode_scan_carry, _decode_scan_carry, encode_carry_init,
-    _row_cum_lookup_hl, _sel_pick_u16, SKIP_ROW)
+    _encode_scan_carry, _encode_scan_stream, _decode_scan_carry,
+    encode_carry_init, _row_cum_lookup_hl, _sel_pick_u16, SKIP_ROW)
 
 L = int(os.environ.get("EXP_LANES", 4096))
 K = int(os.environ.get("EXP_K", 268))
@@ -167,8 +167,14 @@ def main():
     j_v2 = jax.jit(lambda s, r: lean_encode_scan(
         *precompute_take(s, r, cum_dev), encode_carry_init(L, MW)))
 
+    j_stream = jax.jit(lambda s, r, c: _encode_scan_stream(
+        s, r, c, encode_carry_init(L, MW)))
+
     out = {}
     out["enc_v0_ms"] = 1e3 * t_best(lambda: j_v0(symbols, rows, cum_hl))
+    out["enc_stream_ms"] = 1e3 * t_best(
+        lambda: j_stream(symbols, rows, cum_hl))
+    cs = jax.device_get(j_stream(symbols, rows, cum_hl))
     out["enc_pre_ms"] = 1e3 * t_best(lambda: j_pre(symbols, rows, cum_hl))
     out["enc_take_ms"] = 1e3 * t_best(
         lambda: j_take(symbols, rows, cum_dev))
@@ -185,6 +191,8 @@ def main():
                           for a, b in zip(c0, c1))
     out["v2_match"] = all(bool(np.array_equal(a, b))
                           for a, b in zip(c0, c2))
+    out["stream_match"] = all(bool(np.array_equal(a, b))
+                              for a, b in zip(c0, cs))
 
     # decode baseline
     states, cursors, buf = c0
@@ -193,6 +201,16 @@ def main():
              jnp.zeros((L,), jnp.int32))
     j_d0 = jax.jit(lambda d, r, c: _decode_scan_carry(d, r, c, carry))
     out["dec_v0_ms"] = 1e3 * t_best(lambda: j_d0(data, rows, cum_hl))
+    from opendcvc_tpu.entropy.device_rans import _decode_scan_blocked
+    j_db = jax.jit(lambda d, r, c: _decode_scan_blocked(d, r, c, carry))
+    out["dec_blocked_ms"] = 1e3 * t_best(
+        lambda: j_db(data, rows, cum_hl))
+    rd = jax.device_get(j_d0(data, rows, cum_hl))
+    bd = jax.device_get(j_db(data, rows, cum_hl))
+    out["dec_blocked_match"] = all(
+        bool(np.array_equal(a, b))
+        for a, b in zip(jax.tree_util.tree_leaves(rd),
+                        jax.tree_util.tree_leaves(bd)))
 
     out = {k: (round(v, 3) if isinstance(v, float) else v)
            for k, v in out.items()}
