@@ -364,6 +364,12 @@ def main():
         # best-of-2 because the tunneled link's throughput fluctuates
         # and a single 8-frame batch can't average it out
         i_streams = i_net.compress_batch(i_frames, qp)["bit_streams"]
+        if i_net._ec_rerun_count:
+            # content beat the first-rung staging guess: the model has
+            # learned the settled rung (models/dmci.py _ec_learned);
+            # warm once more so the right-sized batch megastage is
+            # compiled OUTSIDE the timed region
+            i_streams = i_net.compress_batch(i_frames, qp)["bit_streams"]
         enc_times = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -409,6 +415,11 @@ def main():
         "intra_dec_fps": None if intra_dec_fps is None
         else round(intra_dec_fps, 2),
     }
+    reruns = p_net._ec_rerun_count + i_net._ec_rerun_count
+    if reruns:
+        # staging-regrow ladder activity (should be confined to warmup
+        # now that settled rungs persist; see models/dmc.py _ec_learned)
+        result["ec_reruns"] = reruns
     print(json.dumps(result))
     if os.environ.get("BENCH_VERBOSE"):
         print(f"# platform={platform} dtype={dtype_name} "

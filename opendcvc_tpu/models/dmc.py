@@ -757,6 +757,13 @@ class DMC:
         # adaptive D2H fetch-window width per staging capacity
         # (transfer slimming; see entropy.device_rans fetch_window)
         self._fetch_windows = {}
+        # learned LAUNCH staging rate (bytes/symbol) per (H, W) (see
+        # DMCI._ec_learned: without memory, content hotter than the
+        # first-rung guess pays the regrow ladder on every chunk; with
+        # it only the first one does).  Launch sizing only — serialized
+        # rungs stay a pure function of each frame's payload.
+        self._ec_learned = {}
+        self._ec_rerun_count = 0
 
     # -- setup ---------------------------------------------------------------
 
@@ -977,15 +984,17 @@ class DMC:
         k_y = -(-n_y // lanes)
         k_z = -(-n_z // lanes)
         kyc = self._kyc_for(k_y, self.force_zero_thres)
+        bps = max(enc.bytes_per_symbol,
+                  self._ec_learned.get((H, W), 0.0))
         k_total = k_z + 2 * (kyc if kyc > 0 else k_y)
         n_total = lanes * k_total
-        bps = enc.bytes_per_symbol
         _, mw = self._mw_for(n_total, lanes, bps)
-        cap = self._cap_for(lanes, mw)
+        cap = self._cap_for(lanes, mw, top_rung=bps >= 3.0)
         return lanes, n_total, k_total, bps, mw, cap, kyc, k_y, k_z
 
     def _finish_one_device(self, arr, lanes, mw, cap, bps, n_total,
-                           k_total, rerun, kyc=0, k_y=0, k_z=0):
+                           k_total, rerun, kyc=0, k_y=0, k_z=0,
+                           learn_key=None):
         """Overflow-check one fetched compact staging and serialize it;
         `rerun(mw, cap, kyc)` re-executes the frame at a grown rung (XLA
         scan path: overflow frames are rare and each extra Pallas
@@ -993,7 +1002,11 @@ class DMC:
         compile).  Two overflow axes: the staging rectangle (lens too
         long -> grow bps) and the skip-compaction prefix (survivors
         m > lanes*kyc -> grow kyc straight to what the in-graph count
-        says the frame needs)."""
+        says the frame needs).  Settled rates persist in _ec_learned
+        (keyed by learn_key) so later launches skip the reruns; the
+        serialized rung is recomputed from the payload with a
+        default-start settle so streams stay history-independent (see
+        DMCI._finish_one_device_i)."""
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
         g_mw, g_cap, g_bps, g_kyc = mw, cap, bps, kyc
@@ -1007,9 +1020,7 @@ class DMC:
             stage_over = int(ln.max(initial=0)) >= g_mw - 2 \
                 or int(ln.sum()) > g_cap
             if not comp_over and not stage_over:
-                return serialize_frame_dense(dense, ln, st, g_n_total,
-                                             g_k_total, g_mw, g_cap,
-                                             g_kyc)
+                break
             if comp_over:
                 need = -(-m_max // lanes)
                 g_kyc = min(k_y, -(-max(need, g_kyc * 2) // 8) * 8)
@@ -1020,7 +1031,27 @@ class DMC:
             top = g_bps >= 3.0
             _, g_mw = self._mw_for(g_n_total, lanes, g_bps)
             g_cap = self._cap_for(lanes, g_mw, top_rung=top)
+            self._ec_rerun_count += 1
             arr = jax.device_get(rerun(g_mw, g_cap, g_kyc))
+        else:
+            raise OverflowError(
+                "device rANS staging overflowed at the top ladder rung")
+        if learn_key is not None and g_bps > bps:
+            self._ec_learned[learn_key] = max(
+                self._ec_learned.get(learn_key, 0.0), g_bps)
+        # serialize at the rung a DEFAULT-start ladder settles at (pure
+        # host arithmetic over the complete payload): streams stay
+        # deterministic even though the launch rectangle adapts
+        ln_max, ln_sum = int(ln.max(initial=0)), int(ln.sum())
+        s_bps = self.device_encoder.bytes_per_symbol
+        for _ in range(8):
+            _, s_mw = self._mw_for(g_n_total, lanes, s_bps)
+            s_cap = self._cap_for(lanes, s_mw, top_rung=s_bps >= 3.0)
+            if ln_max < s_mw - 2 and ln_sum <= s_cap:
+                return serialize_frame_dense(dense, ln, st, g_n_total,
+                                             g_k_total, s_mw, s_cap,
+                                             g_kyc)
+            s_bps = min(s_bps * 2, 3.0)
         raise OverflowError(
             "device rANS staging overflowed at the top ladder rung")
 
@@ -1067,7 +1098,7 @@ class DMC:
             return self._finish_one_device(
                 fetch(), lanes, mw, cap, bps, n_total,
                 k_total, lambda m, c, k: run(m, c, k, False)[1],
-                kyc, k_y, k_z)
+                kyc, k_y, k_z, learn_key=(H, W))
 
         return finish_device
 
@@ -1117,7 +1148,7 @@ class DMC:
                         fz, k)[1]
                 streams.append(self._finish_one_device(
                     arr[i], lanes, mw, cap, bps, n_total, k_total,
-                    rerun, kyc, k_y, k_z))
+                    rerun, kyc, k_y, k_z, learn_key=(H, W)))
             return streams
 
         return finish_gop

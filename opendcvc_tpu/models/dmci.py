@@ -481,6 +481,17 @@ class DMCI:
         # adaptive D2H fetch-window width per staging capacity
         # (transfer slimming; see entropy.device_rans.slim_fetch)
         self._fetch_windows = {}
+        # learned LAUNCH staging rate (bytes/symbol) per (H, W): trained
+        # statistics can need a bigger staging rectangle than the
+        # first-rung guess, and without memory EVERY batch pays the
+        # regrow ladder (one re-execution + one full refetch per
+        # overflowing frame — the round-4 trained-intra collapse,
+        # docs/bench_r4_ckpt.json).  Remembering the settled rate means
+        # only the first batch regrows.  Launch sizing only: the
+        # SERIALIZED rung stays a pure function of the frame's payload
+        # (see _finish_one_device_i), so bitstreams remain deterministic.
+        self._ec_learned = {}
+        self._ec_rerun_count = 0
         self.device_encoder = None
         self.device_decoder = None
         self.z_lanes = int(os.environ.get("OPENDCVC_TPU_EC_Z_LANES", 512))
@@ -550,7 +561,9 @@ class DMCI:
         from ..entropy.device_rans import effective_lanes
         from .dmc import DMC
         if bps is None:
-            bps = self.device_encoder.bytes_per_symbol
+            bps = max(self.device_encoder.bytes_per_symbol,
+                      self._ec_learned.get((H, W), 0.0))
+        top_rung = top_rung or bps >= 3.0
         y_h, y_w = C.get_downsampled_shape(H, W, 16)
         zh, zw = C.get_downsampled_shape(H, W, 64)
         n_y = y_h * y_w * self.N // 4
@@ -575,7 +588,17 @@ class DMCI:
         """Overflow-check + serialize one fetched intra staging (same
         two-axis regrow ladder as DMC._finish_one_device: staging
         rectangle via bps, skip-compaction prefix via the in-graph
-        survivor count riding the staging tail)."""
+        survivor count riding the staging tail).
+
+        Two phases keep launch sizing adaptive WITHOUT making streams
+        history-dependent: (1) physically regrow until the fetched
+        payload is complete (lane cursors count every emission even
+        past the rectangle, so overflow is always detected), recording
+        the settled rate in _ec_learned so the next launch skips the
+        reruns; (2) serialize at the rung a DEFAULT-start ladder
+        settles at — computable host-side from the payload alone, so
+        the container is a pure function of the frame's content no
+        matter what rectangle it was launched with."""
         from ..entropy.device_rans import (serialize_frame_dense,
                                            undensify_packed)
         g_mw, g_cap, g_bps, g_kyc = mw, cap, bps, kyc
@@ -590,9 +613,7 @@ class DMCI:
             stage_over = int(ln.max(initial=0)) >= g_mw - 2 \
                 or int(ln.sum()) > g_cap
             if not comp_over and not stage_over:
-                return serialize_frame_dense(dense, ln, st, g_n_total,
-                                             g_k_total, g_mw, g_cap,
-                                             g_kyc)
+                break
             if comp_over:
                 need = -(-m_max // lanes)
                 g_kyc = min(k_y, -(-max(need, g_kyc * 2) // 8) * 8)
@@ -601,7 +622,24 @@ class DMCI:
             top = g_bps >= 3.0
             g_mw, g_cap, g_n_total, g_k_total, _, _, _, _ = \
                 self._mw_cap_for(H, W, g_bps, top_rung=top, kyc=g_kyc)
+            self._ec_rerun_count += 1
             arr = jax.device_get(rerun(g_mw, g_cap, g_kyc))
+        else:
+            raise OverflowError(
+                "device rANS staging overflowed at the top ladder rung")
+        if g_bps > bps:
+            self._ec_learned[(H, W)] = max(
+                self._ec_learned.get((H, W), 0.0), g_bps)
+        ln_max, ln_sum = int(ln.max(initial=0)), int(ln.sum())
+        s_bps = self.device_encoder.bytes_per_symbol
+        for _ in range(8):
+            s_mw, s_cap, _, _, _, _, _, _ = self._mw_cap_for(
+                H, W, s_bps, kyc=g_kyc)
+            if ln_max < s_mw - 2 and ln_sum <= s_cap:
+                return serialize_frame_dense(dense, ln, st, g_n_total,
+                                             g_k_total, s_mw, s_cap,
+                                             g_kyc)
+            s_bps = min(s_bps * 2, 3.0)
         raise OverflowError(
             "device rANS staging overflowed at the top ladder rung")
 
@@ -612,7 +650,8 @@ class DMCI:
         executions and overlap the fetches."""
         enc = self.device_encoder
         H, W = x.shape[1], x.shape[2]
-        bps0 = enc.bytes_per_symbol
+        bps0 = max(enc.bytes_per_symbol,
+                   self._ec_learned.get((H, W), 0.0))
         mw0, cap0, _, _, lanes, kyc, k_y, k_z = self._mw_cap_for(
             H, W, bps0)
         fz = self.force_zero_thres
@@ -655,7 +694,8 @@ class DMCI:
         qps_arr = jnp.asarray(np.asarray(qps_list, np.int32))
         enc = self.device_encoder
         H, W = xs.shape[2], xs.shape[3]
-        bps = enc.bytes_per_symbol
+        bps = max(enc.bytes_per_symbol,
+                  self._ec_learned.get((H, W), 0.0))
         mw, cap, n_total, k_total, lanes, kyc, k_y, k_z = \
             self._mw_cap_for(H, W, bps)
         fz = self.force_zero_thres
